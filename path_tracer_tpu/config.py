@@ -1,0 +1,100 @@
+"""Render profile and resolution config.
+
+Reference parity: src/config/profile.rs:12-40 (YAML profile with defaults
+1920x1080, bounces=4, samples=64, brdf=COOK_TORRANCE, tonemap=FILMIC) and
+src/config/resolution.rs:4-16.
+
+TPU-specific additions (not in the reference): wavefront knobs that bound the
+fixed-shape loops replacing the reference's variable-length hit lists
+(src/renderer/utils.rs:11-21) — ``alpha_walk_steps`` for the stochastic alpha
+transparency walk (src/renderer/mod.rs:188-205) and ``shadow_walk_steps`` for
+opacity-attenuated shadow rays (src/renderer/mod.rs:291-329); plus
+``tile_rays``, the number of rays processed per jitted wavefront launch.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Union
+
+import yaml
+
+BRDF_TYPES = ("COOK_TORRANCE",)
+TONEMAP_TYPES = ("REINHARD", "FILMIC", "ACES")
+
+
+@dataclasses.dataclass(frozen=True)
+class Resolution:
+    width: int = 1920
+    height: int = 1080
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+
+@dataclasses.dataclass(frozen=True)
+class Profile:
+    resolution: Resolution = Resolution()
+    bounces: int = 4
+    samples: int = 64
+    brdf: str = "COOK_TORRANCE"
+    tonemap: str = "FILMIC"
+    # --- TPU wavefront knobs (beyond the reference) ---
+    # Max closest-hit re-casts when walking stochastic alpha hits per bounce.
+    alpha_walk_steps: int = 8
+    # Max occluder re-casts when accumulating shadow opacity attenuation.
+    shadow_walk_steps: int = 8
+    # Rays per jitted wavefront launch (pixel tile size, flattened).
+    tile_rays: int = 1 << 16
+    # Samples accumulated per launch (inner sample batch).
+    samples_per_launch: int = 1
+    # RNG seed (the reference derives streams from (pixel, sample) only,
+    # src/renderer/mod.rs:110-112; we additionally mix a seed).
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.brdf not in BRDF_TYPES:
+            raise ValueError(f"unknown brdf {self.brdf!r}, expected one of {BRDF_TYPES}")
+        if self.tonemap not in TONEMAP_TYPES:
+            raise ValueError(
+                f"unknown tonemap {self.tonemap!r}, expected one of {TONEMAP_TYPES}"
+            )
+
+    @staticmethod
+    def load(path: Union[str, Path]) -> "Profile":
+        """Load a YAML render profile (ref: src/config/profile.rs:28-32).
+
+        Accepts the reference's YAML schema::
+
+            resolution: {width: 800, height: 600}
+            bounces: 4
+            samples: 16
+            brdf: COOK_TORRANCE
+            tonemap: FILMIC
+        """
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return Profile.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "Profile":
+        kwargs = {}
+        if "resolution" in raw:
+            res = raw["resolution"]
+            kwargs["resolution"] = Resolution(int(res["width"]), int(res["height"]))
+        for key in (
+            "bounces",
+            "samples",
+            "alpha_walk_steps",
+            "shadow_walk_steps",
+            "tile_rays",
+            "samples_per_launch",
+            "seed",
+        ):
+            if key in raw:
+                kwargs[key] = int(raw[key])
+        for key in ("brdf", "tonemap"):
+            if key in raw:
+                kwargs[key] = str(raw[key])
+        return Profile(**kwargs)

@@ -1,0 +1,178 @@
+"""Closest-hit intersection over the flat scene SoA (pure-jnp reference path).
+
+Semantics parity:
+- Möller-Trumbore with det cutoff 1e-6, no backface culling, u in [0,1],
+  v >= 0, u+v <= 1, t > 1e-6; backface flag = det < 0
+  (ref: src/scene/internal/triangle.rs:38-81).
+- Analytic sphere quadratic: each root valid iff >= 0; the far root's normal
+  is negated (inside hit) (ref: src/scene/internal/model.rs:26-63).
+
+The reference's ``ray_cast`` returns ALL hits sorted by distance
+(ref: src/renderer/utils.rs:11-21) to support stochastic alpha walking and
+opacity shadows. Variable-length sorted lists are TPU-hostile; the wavefront
+equivalent is *closest-hit with an advancing ``t_prev``*: calling
+``closest_hit`` with ``t_prev`` set to the previous hit's t yields the next
+hit along the ray, reproducing the sorted walk one bounded step at a time.
+
+All functions are fixed-shape and fully vectorized over rays. This module is
+the semantic oracle; ``intersect_pallas`` must match it bit-for-bit on the
+fixture suite.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+DET_EPS = 1e-6
+T_MIN = 1e-6
+
+KIND_NONE = 0
+KIND_TRIANGLE = 1
+KIND_SPHERE = 2
+
+
+class HitRecord(NamedTuple):
+    """SoA closest-hit record for a ray wavefront. t = +inf means miss."""
+
+    t: jnp.ndarray  # [R] f32
+    kind: jnp.ndarray  # [R] int32 (0 none / 1 triangle / 2 sphere)
+    prim: jnp.ndarray  # [R] int32 index into tri_* or sph_* arrays
+    u: jnp.ndarray  # [R] f32 barycentric (triangles)
+    v: jnp.ndarray  # [R] f32
+    backface: jnp.ndarray  # [R] bool: tri det<0 | sphere far-root (inside) hit
+
+    @property
+    def valid(self):
+        return self.kind != KIND_NONE
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def moller_trumbore(o, d, v0, e1, e2, t_prev):
+    """MT intersection for [R] rays x [B] triangles → (t, u, v, back, valid),
+    each [R,B]. o,d: [R,3]; v0,e1,e2: [B,3]; t_prev: [R]."""
+    o = o[:, None, :]
+    d = d[:, None, :]
+    v0 = v0[None, :, :]
+    e1 = e1[None, :, :]
+    e2 = e2[None, :, :]
+
+    pvec = jnp.cross(d, e2)
+    det = _dot(e1, pvec)  # [R,B]
+    valid = jnp.abs(det) >= DET_EPS
+    invdet = 1.0 / jnp.where(valid, det, 1.0)
+
+    tvec = o - v0
+    u = _dot(tvec, pvec) * invdet
+    valid &= (u >= 0.0) & (u <= 1.0)
+
+    qvec = jnp.cross(tvec, e1)
+    v = _dot(d, qvec) * invdet
+    valid &= (v >= 0.0) & (u + v <= 1.0)
+
+    t = _dot(e2, qvec) * invdet
+    valid &= (t >= T_MIN) & (t > t_prev[:, None])
+    return t, u, v, det < 0.0, valid
+
+
+def closest_hit_triangles(o, d, t_prev, scene, block: int = 512) -> HitRecord:
+    """Scan triangle blocks keeping a running argmin. o,d: [R,3]; t_prev: [R]."""
+    n = scene.tri_v0.shape[0]
+    block = min(block, n)
+    assert n % block == 0, f"triangle count {n} not a multiple of block {block}"
+    r = o.shape[0]
+
+    v0b = scene.tri_v0.reshape(-1, block, 3)
+    e1b = scene.tri_e1.reshape(-1, block, 3)
+    e2b = scene.tri_e2.reshape(-1, block, 3)
+    base = jnp.arange(n, dtype=jnp.int32).reshape(-1, block)
+
+    init = (
+        jnp.full((r,), jnp.inf, jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.bool_),
+    )
+
+    def body(carry, blk):
+        bt, bi, bu, bv, bb = carry
+        v0, e1, e2, idx = blk
+        t, u, v, back, valid = moller_trumbore(o, d, v0, e1, e2, t_prev)
+        t = jnp.where(valid, t, jnp.inf)
+        j = jnp.argmin(t, axis=1)  # [R]
+        rows = jnp.arange(r)
+        tj = t[rows, j]
+        better = tj < bt
+        carry = (
+            jnp.where(better, tj, bt),
+            jnp.where(better, idx[j], bi),
+            jnp.where(better, u[rows, j], bu),
+            jnp.where(better, v[rows, j], bv),
+            jnp.where(better, back[rows, j], bb),
+        )
+        return carry, None
+
+    (bt, bi, bu, bv, bb), _ = jax.lax.scan(body, init, (v0b, e1b, e2b, base))
+    kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
+    return HitRecord(t=bt, kind=kind, prim=bi, u=bu, v=bv, backface=bb)
+
+
+def closest_hit_spheres(o, d, t_prev, scene) -> HitRecord:
+    """Nearest valid sphere root per ray. Root valid iff root >= 0 (each root
+    checked individually, ref model.rs:38-41,50) and root > t_prev. The far
+    root carries a negated (inside) normal — tracked via ``backface``."""
+    c = scene.sph_center[None, :, :]  # [1,S,3]
+    radius = scene.sph_radius[None, :]  # [1,S]
+    oc = o[:, None, :] - c  # [R,S,3]
+    a = _dot(d[:, None, :], d[:, None, :])  # [R,1]→[R,S] via broadcast of d
+    b = 2.0 * _dot(oc, d[:, None, :])
+    cc = _dot(oc, oc) - radius * radius
+    disc = b * b - 4.0 * a * cc
+    has = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    t2 = (-b + sq) / (2.0 * a)
+
+    tp = t_prev[:, None]
+    v1 = has & (t1 >= 0.0) & (t1 > tp)
+    v2 = has & (t2 >= 0.0) & (t2 > tp)
+    # nearest valid root per sphere (t1 <= t2 always)
+    t_near = jnp.where(v1, t1, jnp.where(v2, t2, jnp.inf))
+    far_root = ~v1 & v2
+
+    j = jnp.argmin(t_near, axis=1)
+    rows = jnp.arange(o.shape[0])
+    tj = t_near[rows, j]
+    kind = jnp.where(jnp.isfinite(tj), KIND_SPHERE, KIND_NONE).astype(jnp.int32)
+    return HitRecord(
+        t=tj,
+        kind=kind,
+        prim=j.astype(jnp.int32),
+        u=jnp.zeros_like(tj),
+        v=jnp.zeros_like(tj),
+        backface=far_root[rows, j],
+    )
+
+
+def closest_hit(o, d, t_prev, scene, block: int = 512) -> HitRecord:
+    """Closest hit among all primitives with t > t_prev (pass t_prev=-1.0 for
+    a fresh cast: triangles still enforce t > 1e-6; spheres allow t >= 0,
+    matching the reference's per-type cutoffs)."""
+    tri = closest_hit_triangles(o, d, t_prev, scene, block=block)
+    sph = closest_hit_spheres(o, d, t_prev, scene)
+    tri_wins = tri.t <= sph.t  # both inf → KIND_NONE either way
+    pick = lambda a, b: jnp.where(tri_wins, a, b)
+    kind = pick(tri.kind, sph.kind)
+    return HitRecord(
+        t=pick(tri.t, sph.t),
+        kind=kind,
+        prim=pick(tri.prim, sph.prim),
+        u=pick(tri.u, sph.u),
+        v=pick(tri.v, sph.v),
+        backface=pick(tri.backface, sph.backface),
+    )

@@ -1,0 +1,309 @@
+"""Device scene: flat SoA arrays for the wavefront renderer.
+
+This replaces the reference's pointer-rich runtime scene
+(ref: src/scene/internal/mod.rs:25-51, model.rs:10-21) with a single pytree of
+padded, fixed-shape arrays — the layout XLA/Pallas wants:
+
+- All mesh triangles of all models are flattened into ONE global triangle
+  array (the reference's two-level Model enum split is an artifact of its
+  KD-tree crate; a flat SoA + per-triangle material id is strictly more
+  TPU-friendly). Precomputed per triangle: v0, edge1, edge2 (Möller-Trumbore
+  operands, ref triangle.rs:43-44), vertex normals, UVs, and the per-triangle
+  tangent (constant across the face — ref hit.rs:116-127 recomputes it per
+  hit, but it only depends on edges and UV deltas).
+- Analytic spheres in their own small SoA (ref model.rs:26-63).
+- Materials as per-model factor tables + texture ids (-1 = no texture),
+  mirroring the 5-channel factor x texture model (ref material.rs:10-26).
+- All textures packed into one flat RGB f32 atlas with an offset/size table;
+  nearest-neighbor wrap sampling happens in ops.texturing.
+- Lights split by type into fixed arrays (counts are static per scene).
+
+Padding: triangles are padded with degenerate (all-zero) entries — their
+Möller-Trumbore determinant is 0, which the det cutoff rejects
+(ref triangle.rs:49). Spheres are padded with far-away centers so the
+discriminant is negative. Every array keeps a static shape so one compiled
+executable serves the whole render.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from path_tracer_tpu.scene import isf
+from path_tracer_tpu.utils.image_io import load_texture_gray, load_texture_rgb
+
+_TRI_PAD = 256  # triangle count padded to a multiple of this (Pallas block)
+
+
+def _pad_to(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
+    """All scene data as device arrays. Registered as a JAX pytree."""
+
+    # --- triangles, padded to multiple of _TRI_PAD ---
+    tri_v0: jax.Array  # [N,3] f32
+    tri_e1: jax.Array  # [N,3] f32  (v1 - v0)
+    tri_e2: jax.Array  # [N,3] f32  (v2 - v0)
+    tri_n0: jax.Array  # [N,3] f32 vertex normals
+    tri_n1: jax.Array  # [N,3]
+    tri_n2: jax.Array  # [N,3]
+    tri_uv0: jax.Array  # [N,2]
+    tri_uv1: jax.Array  # [N,2]
+    tri_uv2: jax.Array  # [N,2]
+    tri_tangent: jax.Array  # [N,3] normalized tangent (NaN if degenerate UVs,
+    #                          matching ref hit.rs:121-127)
+    tri_model: jax.Array  # [N] int32 model id (0 for padding; det=0 rejects)
+
+    # --- spheres, padded to >= 1 ---
+    sph_center: jax.Array  # [S,3] f32
+    sph_radius: jax.Array  # [S] f32
+    sph_model: jax.Array  # [S] int32
+
+    # --- materials, one row per model ---
+    mat_albedo_factor: jax.Array  # [M,3]
+    mat_emissive_factor: jax.Array  # [M,3]
+    mat_opacity_factor: jax.Array  # [M]
+    mat_metalness_factor: jax.Array  # [M]
+    mat_roughness_factor: jax.Array  # [M]
+    mat_ior: jax.Array  # [M]
+    mat_albedo_tex: jax.Array  # [M] int32, -1 = none
+    mat_emissive_tex: jax.Array  # [M] int32
+    mat_opacity_tex: jax.Array  # [M] int32
+    mat_metalness_tex: jax.Array  # [M] int32
+    mat_roughness_tex: jax.Array  # [M] int32
+    mat_normal_tex: jax.Array  # [M] int32
+
+    # --- texture atlas (all textures, RGB f32 in [0,1], row-major) ---
+    tex_data: jax.Array  # [P,3] f32 (P >= 1; row 0 is a dummy texel)
+    tex_offset: jax.Array  # [T] int32 start row of each texture
+    tex_width: jax.Array  # [T] int32
+    tex_height: jax.Array  # [T] int32
+
+    # --- lights ---
+    point_pos: jax.Array  # [Lp,3]
+    point_color: jax.Array  # [Lp,3]
+    dir_dir: jax.Array  # [Ld,3]
+    dir_color: jax.Array  # [Ld,3]
+
+    # --- camera + background ---
+    cam_to_world: jax.Array  # [4,4] f32 row-major math matrix (world-from-camera)
+    cam_fov: jax.Array  # [] f32, vertical fov radians
+    background: jax.Array  # [3] f32
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v0.shape[0]
+
+    @property
+    def num_spheres(self) -> int:
+        return self.sph_center.shape[0]
+
+    @property
+    def num_point_lights(self) -> int:
+        return self.point_pos.shape[0]
+
+    @property
+    def num_dir_lights(self) -> int:
+        return self.dir_dir.shape[0]
+
+
+class _AtlasBuilder:
+    """Packs textures into one flat RGB array, deduplicating by path+kind.
+
+    Plays the role of the reference's TextureBank (ref: texture_bank.rs:6-52):
+    the same file loaded as RGB and as gray are distinct entries, exactly like
+    the reference's separate rgb/gray maps.
+    """
+
+    def __init__(self, root: Path):
+        self.root = Path(root)
+        self.chunks = [np.zeros((1, 3), np.float32)]  # dummy texel at offset 0
+        self.offsets = [0]
+        self.widths = [1]
+        self.heights = [1]
+        self.next_offset = 1
+        self.cache = {}
+
+    def add(self, rel_path: Optional[str], kind: str) -> int:
+        """Returns texture id, or -1 if rel_path is None. kind: 'rgb'|'gray'."""
+        if rel_path is None:
+            return -1
+        key = (kind, rel_path)
+        if key in self.cache:
+            return self.cache[key]
+        path = self.root / rel_path
+        if kind == "rgb":
+            img = load_texture_rgb(path)  # [H,W,3] f32 in [0,1]
+        else:
+            gray = load_texture_gray(path)  # [H,W] f32 in [0,1]
+            img = np.repeat(gray[:, :, None], 3, axis=2)
+        h, w = img.shape[:2]
+        tex_id = len(self.offsets)
+        self.chunks.append(img.reshape(h * w, 3).astype(np.float32))
+        self.offsets.append(self.next_offset)
+        self.widths.append(w)
+        self.heights.append(h)
+        self.next_offset += h * w
+        self.cache[key] = tex_id
+        return tex_id
+
+
+def build_device_scene(scene: isf.Scene, root) -> DeviceScene:
+    """Flatten an ISF scene into device SoA arrays.
+
+    Mirrors Scene::load (ref: src/scene/internal/mod.rs:35-51) minus the
+    KD-tree builds — spatial acceleration is a separate, optional BVH pass.
+    """
+    root = Path(root)
+    atlas = _AtlasBuilder(root)
+
+    tri_rows = {k: [] for k in ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2")}
+    tri_model = []
+    sph_center, sph_radius, sph_model = [], [], []
+    mats = {
+        "albedo_f": [], "emissive_f": [], "opacity_f": [], "metal_f": [],
+        "rough_f": [], "ior": [], "albedo_t": [], "emissive_t": [],
+        "opacity_t": [], "metal_t": [], "rough_t": [], "normal_t": [],
+    }
+
+    for model_id, model in enumerate(scene.models):
+        m = model.material
+        mats["albedo_f"].append(m.albedo.factor)
+        mats["emissive_f"].append(m.emissive.factor)
+        mats["opacity_f"].append(m.opacity.factor)
+        mats["metal_f"].append(m.metalness.factor)
+        mats["rough_f"].append(m.roughness.factor)
+        mats["ior"].append(m.ior)
+        mats["albedo_t"].append(atlas.add(m.albedo.texture, "rgb"))
+        mats["emissive_t"].append(atlas.add(m.emissive.texture, "rgb"))
+        mats["opacity_t"].append(atlas.add(m.opacity.texture, "gray"))
+        mats["metal_t"].append(atlas.add(m.metalness.texture, "gray"))
+        mats["rough_t"].append(atlas.add(m.roughness.texture, "gray"))
+        mats["normal_t"].append(atlas.add(m.normal_texture, "rgb"))
+
+        if isinstance(model, isf.Mesh):
+            for v0, v1, v2 in model.triangles:
+                tri_rows["v0"].append(v0.position)
+                tri_rows["v1"].append(v1.position)
+                tri_rows["v2"].append(v2.position)
+                tri_rows["n0"].append(v0.normal)
+                tri_rows["n1"].append(v1.normal)
+                tri_rows["n2"].append(v2.normal)
+                tri_rows["uv0"].append(v0.tex_coords)
+                tri_rows["uv1"].append(v1.tex_coords)
+                tri_rows["uv2"].append(v2.tex_coords)
+                tri_model.append(model_id)
+        else:
+            sph_center.append(model.center)
+            sph_radius.append(model.radius)
+            sph_model.append(model_id)
+
+    n_tris = len(tri_model)
+    n_pad = _pad_to(n_tris, _TRI_PAD)
+
+    def _pad3(rows, dim):
+        arr = np.zeros((n_pad, dim), np.float32)
+        if rows:
+            arr[:n_tris] = np.asarray(rows, np.float32)
+        return arr
+
+    v0 = _pad3(tri_rows["v0"], 3)
+    v1 = _pad3(tri_rows["v1"], 3)
+    v2 = _pad3(tri_rows["v2"], 3)
+    e1 = v1 - v0
+    e2 = v2 - v0
+
+    # Per-triangle tangent from UV deltas (ref hit.rs:116-127). delta_uv1/2
+    # equal uv1-uv0 / uv2-uv0; f = 1/(du1.x*du2.y - du2.x*du1.y).
+    uv0 = _pad3(tri_rows["uv0"], 2)
+    uv1 = _pad3(tri_rows["uv1"], 2)
+    uv2 = _pad3(tri_rows["uv2"], 2)
+    du1 = uv1 - uv0
+    du2 = uv2 - uv0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = 1.0 / (du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1])
+        tangent = f[:, None] * (du2[:, 1:2] * e1 - du1[:, 1:2] * e2)
+        norm = np.sqrt((tangent * tangent).sum(-1, keepdims=True))
+        tangent = tangent / norm  # NaN for degenerate UVs, matching reference
+    tangent = np.where(np.isfinite(tangent), tangent, 0.0).astype(np.float32)
+
+    tri_model_arr = np.zeros(n_pad, np.int32)
+    if n_tris:
+        tri_model_arr[:n_tris] = np.asarray(tri_model, np.int32)
+
+    # Spheres padded to >= 1 with a guaranteed-miss entry (center at 1e30 so
+    # the quadratic discriminant is hugely negative for any practical ray).
+    n_sph = max(1, len(sph_radius))
+    centers = np.full((n_sph, 3), 1e30, np.float32)
+    radii = np.zeros(n_sph, np.float32)
+    sph_model_arr = np.zeros(n_sph, np.int32)
+    if sph_radius:
+        centers[: len(sph_radius)] = np.asarray(sph_center, np.float32)
+        radii[: len(sph_radius)] = np.asarray(sph_radius, np.float32)
+        sph_model_arr[: len(sph_radius)] = np.asarray(sph_model, np.int32)
+
+    # Lights
+    points = [l for l in scene.lights if isinstance(l, isf.PointLight)]
+    dirs = [l for l in scene.lights if isinstance(l, isf.DirectionalLight)]
+    point_pos = np.asarray([l.position for l in points], np.float32).reshape(-1, 3)
+    point_color = np.asarray([l.color for l in points], np.float32).reshape(-1, 3)
+    dir_dir = np.asarray([l.direction for l in dirs], np.float32).reshape(-1, 3)
+    dir_color = np.asarray([l.color for l in dirs], np.float32).reshape(-1, 3)
+
+    # Camera: ISF stores the cgmath COLUMN-major matrix (transform[i] is
+    # column i; translation is transform[3][0..3], ref camera.rs:42-48).
+    # Transpose into a conventional row-major world-from-camera matrix.
+    cam = np.asarray(scene.camera.transform, np.float32).T
+
+    atlas_data = np.concatenate(atlas.chunks, axis=0)
+
+    import jax.numpy as jnp
+
+    f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
+    v0, e1, e2, uv0, uv1, uv2, tangent = map(
+        jnp.asarray, (v0, e1, e2, uv0, uv1, uv2, tangent)
+    )
+    tri_model_arr = jnp.asarray(tri_model_arr)
+    centers, radii, sph_model_arr = map(jnp.asarray, (centers, radii, sph_model_arr))
+    point_pos, point_color, dir_dir, dir_color = map(
+        jnp.asarray, (point_pos, point_color, dir_dir, dir_color)
+    )
+    cam = jnp.asarray(cam)
+    atlas_data = jnp.asarray(atlas_data)
+    return DeviceScene(
+        tri_v0=v0, tri_e1=e1, tri_e2=e2,
+        tri_n0=f32(_pad3(tri_rows["n0"], 3)), tri_n1=f32(_pad3(tri_rows["n1"], 3)),
+        tri_n2=f32(_pad3(tri_rows["n2"], 3)),
+        tri_uv0=uv0, tri_uv1=uv1, tri_uv2=uv2,
+        tri_tangent=tangent, tri_model=tri_model_arr,
+        sph_center=centers, sph_radius=radii, sph_model=sph_model_arr,
+        mat_albedo_factor=f32(mats["albedo_f"]).reshape(-1, 3),
+        mat_emissive_factor=f32(mats["emissive_f"]).reshape(-1, 3),
+        mat_opacity_factor=f32(mats["opacity_f"]),
+        mat_metalness_factor=f32(mats["metal_f"]),
+        mat_roughness_factor=f32(mats["rough_f"]),
+        mat_ior=f32(mats["ior"]),
+        mat_albedo_tex=i32(mats["albedo_t"]),
+        mat_emissive_tex=i32(mats["emissive_t"]),
+        mat_opacity_tex=i32(mats["opacity_t"]),
+        mat_metalness_tex=i32(mats["metal_t"]),
+        mat_roughness_tex=i32(mats["rough_t"]),
+        mat_normal_tex=i32(mats["normal_t"]),
+        tex_data=atlas_data,
+        tex_offset=i32(atlas.offsets),
+        tex_width=i32(atlas.widths),
+        tex_height=i32(atlas.heights),
+        point_pos=point_pos, point_color=point_color,
+        dir_dir=dir_dir, dir_color=dir_color,
+        cam_to_world=cam, cam_fov=f32(scene.camera.fov),
+        background=f32(scene.background),
+    )

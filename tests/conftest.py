@@ -1,0 +1,28 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on virtual CPU devices
+(xla_force_host_platform_device_count) since only one real TPU chip is
+available in CI; the driver separately dry-runs the multi-chip path.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+from pathlib import Path
+
+import pytest
+
+REFERENCE = Path("/root/reference")
+SCENES = REFERENCE / "tests" / "scenes"
+
+
+@pytest.fixture(scope="session")
+def reference_scenes():
+    if not SCENES.exists():
+        pytest.skip("reference test scenes not available")
+    return SCENES
