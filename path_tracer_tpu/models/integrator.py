@@ -104,7 +104,10 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
     prim = jnp.maximum(hit.prim, 0)
     sph_i = jnp.minimum(prim, scene.sph_center.shape[0] - 1)
 
-    pos = o + d * hit.t[:, None]
+    # Miss lanes carry t = +inf; their Surface is masked out downstream, but
+    # inf would still poison reverse-mode AD through jnp.where (0 * inf).
+    t_safe = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
+    pos = o + d * t_safe[:, None]
     model, uv, simple = _hit_model_uv(scene, hit)
 
     # Triangle: barycentric vertex-normal interpolation (NOT normalized).
@@ -120,7 +123,9 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
     # (ref model.rs:44,57 — the far hit's normal is pre-negated in the Hit).
     center = scene.sph_center[sph_i]
     sph_n = pos - center
-    sph_n = sph_n / jnp.linalg.norm(sph_n, axis=-1, keepdims=True)
+    sph_n = sph_n / jnp.maximum(
+        jnp.linalg.norm(sph_n, axis=-1, keepdims=True), 1e-20
+    )
     sph_n = jnp.where(hit.backface[:, None], -sph_n, sph_n)
 
     geom_n = jnp.where(is_tri[:, None], n_interp, sph_n)
@@ -130,7 +135,9 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
     tangent = scene.tri_tangent[prim]
     bitangent = jnp.cross(n_interp, tangent)
     mapped = tangent * nm[:, 0:1] + bitangent * nm[:, 1:2] + n_interp * nm[:, 2:3]
-    mapped = mapped / jnp.linalg.norm(mapped, axis=-1, keepdims=True)
+    mapped = mapped / jnp.maximum(
+        jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20
+    )
     tri_shading_n = jnp.where((has_map & is_tri)[:, None], mapped, n_interp)
     # Backface flip applies to triangles only (sphere backface is pre-negated).
     tri_shading_n = jnp.where((hit.backface & is_tri)[:, None], -tri_shading_n,
@@ -141,11 +148,13 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
                    model=model, simple=simple)
 
 
-def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec):
+def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
+                steps: int):
     """Stochastic alpha-transparency hit walk (ref mod.rs:188-205).
 
     Returns (sel: HitRecord of the shading hit, seen_any [R], first_missed [R]).
     first_missed = the FIRST cast found nothing → background path.
+    For all-opaque scenes ``steps == 1``: the first hit always accepts.
     """
     r = o.shape[0]
     sel0 = HitRecord(
@@ -178,14 +187,14 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec):
     init = (sel0, jnp.zeros((r,), jnp.bool_), jnp.full((r,), -1.0, jnp.float32),
             walking)
     (sel, seen_any, _, _), _ = jax.lax.scan(
-        step, init, jnp.arange(spec.alpha_walk_steps, dtype=jnp.int32)
+        step, init, jnp.arange(steps, dtype=jnp.int32)
     )
 
     first_missed = walking & ~seen_any
     return sel, seen_any, first_missed
 
 
-def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec,
+def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
                         point_dist=None, surf_pos=None, orig_model_uv=None):
     """Occluder opacity-attenuation walk shared by both light types.
 
@@ -216,7 +225,7 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec,
         return (att, t_prev, walking), None
 
     init = (att0, jnp.full((s_o.shape[0],), -1.0, jnp.float32), active)
-    (att, _, _), _ = jax.lax.scan(step, init, None, length=spec.shadow_walk_steps)
+    (att, _, _), _ = jax.lax.scan(step, init, None, length=steps)
     return att
 
 
@@ -239,9 +248,13 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
     throughput = jnp.ones((r, 3), jnp.float32)
     alive = jnp.ones((r,), jnp.bool_)
 
+    # Fully opaque scenes collapse both bounded walks to one cast each.
+    alpha_steps = 1 if scene.all_opaque else spec.alpha_walk_steps
+    shadow_steps = 1 if scene.all_opaque else spec.shadow_walk_steps
+
     for bounce in range(spec.bounces + 1):
         sel, seen_any, first_missed = _alpha_walk(
-            scene, o, d, alive, pixel_ids, sample_id, bounce, spec
+            scene, o, d, alive, pixel_ids, sample_id, bounce, spec, alpha_steps
         )
 
         # Background: only rays whose first cast this bounce missed everything.
@@ -264,7 +277,7 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
             ldir = scene.dir_dir[li]  # raw, possibly unnormalized — as in ref
             radiance = _shadow_attenuation(
                 scene, shadow_o, jnp.broadcast_to(-ldir, d.shape), alive,
-                scene.dir_color[li], spec,
+                scene.dir_color[li], spec, shadow_steps,
             )
             lit = alive & (jnp.sum(radiance, axis=-1) != 0.0)  # skip zero lights
             ev = brdf.eval_direct(mat, f0, surf.normal, view,
@@ -280,7 +293,7 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
             ldir = to_surf / dist[:, None]  # light → surface
             dissipated = scene.point_color[li] / (4.0 * PI * dist * dist)[:, None]
             radiance = _shadow_attenuation(
-                scene, shadow_o, -ldir, alive, 1.0, spec,
+                scene, shadow_o, -ldir, alive, 1.0, spec, shadow_steps,
                 point_dist=dist, surf_pos=surf.pos,
                 orig_model_uv=(surf.uv, surf.simple),
             ) * dissipated
@@ -296,6 +309,11 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
             r2 = rng.uniform(pixel_ids, sample_id,
                              rng.SITE_GGX_R2 + rng.SITE_STRIDE * bounce, spec.seed)
             new_d, wm = brdf.sample(mat, surf.normal, view, r1, r2)
+            # Detached sampling: gradients flow through eval_indirect's
+            # explicit material dependence, not through the sampled
+            # direction (discrete-event detach; SURVEY §7).
+            new_d = jax.lax.stop_gradient(new_d)
+            wm = jax.lax.stop_gradient(wm)
             ind = brdf.eval_indirect(mat, f0, surf.normal, view, new_d, wm)
             throughput = jnp.where(alive[:, None], throughput * ind, throughput)
             o = jnp.where(alive[:, None], surf.pos + surf.geom_normal * NORMAL_BIAS, o)

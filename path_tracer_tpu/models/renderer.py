@@ -45,6 +45,37 @@ def _render_tile_batch(scene, pixel_ids, width, height, sample_start, n_samples,
     return acc
 
 
+def render_pixel_sums(scene, width: int, height: int, sample_start: int,
+                      n_samples: int, spec: IntegratorSpec,
+                      tile_rays: int = 1 << 16,
+                      samples_per_launch: int = 1) -> np.ndarray:
+    """Radiance sums [W*H, 3] over n_samples consecutive sample ids.
+
+    The tiles x sample-batches launch loop without post-processing — used by
+    the renderer, the benchmark, and checkpointed renders.
+    """
+    n_pix = width * height
+    tile = min(tile_rays, max(1, n_pix))
+    n_tiles = (n_pix + tile - 1) // tile
+    spl = max(1, samples_per_launch)
+
+    accum = np.zeros((n_tiles * tile, 3), np.float32)
+    all_ids = np.arange(n_tiles * tile, dtype=np.int32)
+    all_ids[n_pix:] = 0
+
+    sample = sample_start
+    end = sample_start + n_samples
+    while sample < end:
+        k = min(spl, end - sample)
+        for ti in range(n_tiles):
+            ids = jnp.asarray(all_ids[ti * tile : (ti + 1) * tile])
+            acc = _render_tile_batch(scene, ids, width, height,
+                                     jnp.int32(sample), k, spec)
+            accum[ti * tile : (ti + 1) * tile] += np.asarray(acc)
+        sample += k
+    return accum[:n_pix]
+
+
 def render(scene, profile: Profile, progress: bool = False,
            viewer=None) -> np.ndarray:
     """Render a scene → [H,W,3] uint8. Accumulates radiance over

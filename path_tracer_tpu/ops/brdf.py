@@ -30,7 +30,9 @@ def _dot(a, b):
 
 
 def _normalize(v):
-    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # Tiny floor guards masked-out degenerate lanes (v == 0) from producing
+    # NaN that would poison reverse-mode AD through jnp.where.
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
 
 
 def compute_f0(metalness, albedo):
@@ -89,7 +91,9 @@ def reflection(i, n):
 def sample_microfacet_normal(roughness, n, r1, r2):
     """GGX-NDF importance-sampled microfacet normal in world space."""
     a2 = roughness**4
-    theta = jnp.arccos(jnp.sqrt((1.0 - r1) / (r1 * (a2 - 1.0) + 1.0)))
+    # arg <= 1 analytically (denom - (1-r1) = r1*a2 >= 0); clamp fp rounding.
+    arg = jnp.clip((1.0 - r1) / (r1 * (a2 - 1.0) + 1.0), 0.0, 1.0)
+    theta = jnp.arccos(jnp.sqrt(arg))
     phi = 2.0 * PI * r2
     sin_t = jnp.sin(theta)
     local = jnp.stack([sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)], -1)

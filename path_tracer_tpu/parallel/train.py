@@ -1,0 +1,84 @@
+"""Sharded differentiable render step ("training step" analog).
+
+The reference has no training loop — the DP-gradient analog mandated by
+BASELINE.md is: differentiate the rendered image w.r.t. continuous scene
+parameters (material factors, light colors, emission, background), shard the
+pixel wavefront over the mesh, and all-reduce parameter gradients with
+``psum`` over ICI (SURVEY §2c). This is the inverse-rendering workflow: fit
+scene parameters to a target image by gradient descent.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from path_tracer_tpu.models.integrator import IntegratorSpec, render_wavefront
+from path_tracer_tpu.parallel.mesh import DP_AXIS
+
+# Continuous leaves of DeviceScene that gradients flow into. Discrete events
+# (hit selection, alpha accepts, RR kills, sampled directions) are detached
+# inside the integrator.
+PARAM_FIELDS = (
+    "mat_albedo_factor",
+    "mat_emissive_factor",
+    "mat_metalness_factor",
+    "mat_roughness_factor",
+    "point_color",
+    "dir_color",
+    "background",
+)
+
+
+def get_params(scene) -> dict:
+    """Extract the trainable parameter pytree from a DeviceScene."""
+    return {f: getattr(scene, f) for f in PARAM_FIELDS}
+
+
+def apply_params(scene, params: dict):
+    """Rebuild the scene with updated parameters."""
+    return dataclasses.replace(scene, **params)
+
+
+def make_train_step(mesh, width: int, height: int, spec: IntegratorSpec,
+                    n_samples: int = 1, lr: float = 1e-2, axis: str = DP_AXIS):
+    """Jitted sharded step: (params, scene, pixel_ids, target, sample_id) →
+    (new_params, loss).
+
+    pixel_ids [R] and target [R,3] shard over ``axis``; params and scene are
+    replicated. The loss is summed over all shards (psum) and parameter
+    gradients are psum-reduced before the SGD update, so every device applies
+    the identical update — standard DP.
+    """
+
+    def local_step(params, scene, ids, target, sample_id):
+        def loss_fn(params):
+            s = apply_params(scene, params)
+
+            def body(acc, k):
+                rad = render_wavefront(s, ids, width, height, sample_id + k,
+                                       spec)
+                return acc + rad, None
+
+            init = jnp.zeros((ids.shape[0], 3), jnp.float32)
+            acc, _ = jax.lax.scan(body, init, jnp.arange(n_samples))
+            img = acc / float(n_samples)
+            return jnp.sum((img - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.lax.psum(grads, axis)
+        new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params,
+                                            grads)
+        return new_params, loss
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -98,6 +98,21 @@ class DeviceScene:
     cam_fov: jax.Array  # [] f32, vertical fov radians
     background: jax.Array  # [3] f32
 
+    # --- static (non-traced) scene facts; part of the jit key -------------
+    # True when every material is fully opaque (opacity factor >= 1, no
+    # opacity texture). Lets the integrator collapse the stochastic alpha
+    # walk (ref mod.rs:188-205) and the shadow occluder walk
+    # (ref mod.rs:283-331) to a single closest-hit cast each — the extra
+    # walk steps exist only to reproduce alpha semantics.
+    all_opaque: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
+    # True when no material has any texture — material sampling is then a
+    # pure factor table lookup and the atlas gather can be skipped.
+    no_textures: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
+
     @property
     def num_triangles(self) -> int:
         return self.tri_v0.shape[0]
@@ -306,4 +321,9 @@ def build_device_scene(scene: isf.Scene, root) -> DeviceScene:
         dir_dir=dir_dir, dir_color=dir_color,
         cam_to_world=cam, cam_fov=f32(scene.camera.fov),
         background=f32(scene.background),
+        all_opaque=all(
+            m.material.opacity.factor >= 1.0 and m.material.opacity.texture is None
+            for m in scene.models
+        ),
+        no_textures=len(atlas.offsets) == 1,
     )

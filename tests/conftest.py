@@ -6,12 +6,18 @@ available in CI; the driver separately dry-runs the multi-chip path.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin pins jax_platforms to "axon" in sitecustomize, so the
+# JAX_PLATFORMS env var alone is not enough — force the config before any
+# backend initialization.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 from pathlib import Path
 
