@@ -23,7 +23,7 @@ BASELINE_RAYS_PER_S = 10e6  # documented nominal for the Rust CPU reference
 
 WIDTH, HEIGHT = 1920, 1080
 BOUNCES = 5
-WARMUP_SAMPLES = 2
+WARMUP_SAMPLES = 4
 TIMED_SAMPLES = 16
 
 

@@ -85,15 +85,23 @@ def _dot(a, b):
 
 
 def _hit_model_uv(scene, hit: HitRecord):
-    """(model_id [R], uv [R,2], simple [R]) for any hit record."""
-    is_tri = hit.kind == KIND_TRIANGLE
+    """(model_id [R], uv [R,2], simple [R]) for any hit record. Scenes with a
+    single primitive class skip the other class's gathers statically."""
     prim = jnp.maximum(hit.prim, 0)
-    model = jnp.where(is_tri, scene.tri_model[prim],
-                      scene.sph_model[jnp.minimum(prim, scene.sph_model.shape[0] - 1)])
+    if scene.num_real_triangles == 0:
+        sph_i = jnp.minimum(prim, scene.sph_model.shape[0] - 1)
+        r = prim.shape[0]
+        return (scene.sph_model[sph_i], jnp.zeros((r, 2), jnp.float32),
+                jnp.ones((r,), jnp.bool_))
+    is_tri = hit.kind == KIND_TRIANGLE
     w = hit.u[:, None]
     ww = hit.v[:, None]
     uv0 = scene.tri_uv0[prim]
     uv = uv0 + w * (scene.tri_uv1[prim] - uv0) + ww * (scene.tri_uv2[prim] - uv0)
+    if scene.num_real_spheres == 0:
+        return scene.tri_model[prim], uv, jnp.zeros_like(is_tri)
+    model = jnp.where(is_tri, scene.tri_model[prim],
+                      scene.sph_model[jnp.minimum(prim, scene.sph_model.shape[0] - 1)])
     uv = jnp.where(is_tri[:, None], uv, 0.0)
     return model, uv, ~is_tri
 
@@ -111,38 +119,59 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
     model, uv, simple = _hit_model_uv(scene, hit)
 
     # Triangle: barycentric vertex-normal interpolation (NOT normalized).
-    w1 = hit.u[:, None]
-    w2 = hit.v[:, None]
-    n_interp = (
-        (1.0 - w1 - w2) * scene.tri_n0[prim]
-        + w1 * scene.tri_n1[prim]
-        + w2 * scene.tri_n2[prim]
-    )
+    if scene.num_real_triangles != 0:
+        w1 = hit.u[:, None]
+        w2 = hit.v[:, None]
+        n_interp = (
+            (1.0 - w1 - w2) * scene.tri_n0[prim]
+            + w1 * scene.tri_n1[prim]
+            + w2 * scene.tri_n2[prim]
+        )
+    else:
+        n_interp = None
 
     # Sphere geometric normal: outward, negated for far-root (inside) hits
     # (ref model.rs:44,57 — the far hit's normal is pre-negated in the Hit).
-    center = scene.sph_center[sph_i]
-    sph_n = pos - center
-    sph_n = sph_n / jnp.maximum(
-        jnp.linalg.norm(sph_n, axis=-1, keepdims=True), 1e-20
-    )
-    sph_n = jnp.where(hit.backface[:, None], -sph_n, sph_n)
+    if scene.num_real_spheres != 0:
+        center = scene.sph_center[sph_i]
+        sph_n = pos - center
+        sph_n = sph_n / jnp.maximum(
+            jnp.linalg.norm(sph_n, axis=-1, keepdims=True), 1e-20
+        )
+        sph_n = jnp.where(hit.backface[:, None], -sph_n, sph_n)
+    else:
+        sph_n = None
 
-    geom_n = jnp.where(is_tri[:, None], n_interp, sph_n)
+    if n_interp is None:
+        geom_n = sph_n
+    elif sph_n is None:
+        geom_n = n_interp
+    else:
+        geom_n = jnp.where(is_tri[:, None], n_interp, sph_n)
 
-    # Normal mapping (triangles with a normal texture): TBN * map, normalized.
-    nm, has_map = texturing.sample_normal_map(scene, model, uv)
-    tangent = scene.tri_tangent[prim]
-    bitangent = jnp.cross(n_interp, tangent)
-    mapped = tangent * nm[:, 0:1] + bitangent * nm[:, 1:2] + n_interp * nm[:, 2:3]
-    mapped = mapped / jnp.maximum(
-        jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20
-    )
-    tri_shading_n = jnp.where((has_map & is_tri)[:, None], mapped, n_interp)
-    # Backface flip applies to triangles only (sphere backface is pre-negated).
-    tri_shading_n = jnp.where((hit.backface & is_tri)[:, None], -tri_shading_n,
-                              tri_shading_n)
-    normal = jnp.where(is_tri[:, None], tri_shading_n, sph_n)
+    if n_interp is None:
+        # Sphere-only scene: shading normal == geometric sphere normal.
+        normal = sph_n
+    else:
+        # Normal mapping (triangles with a normal texture): TBN*map, normed.
+        nm, has_map = texturing.sample_normal_map(scene, model, uv)
+        if nm is None:  # statically texture-free scene — skip the TBN branch
+            tri_shading_n = n_interp
+        else:
+            tangent = scene.tri_tangent[prim]
+            bitangent = jnp.cross(n_interp, tangent)
+            mapped = (tangent * nm[:, 0:1] + bitangent * nm[:, 1:2]
+                      + n_interp * nm[:, 2:3])
+            mapped = mapped / jnp.maximum(
+                jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20
+            )
+            tri_shading_n = jnp.where((has_map & is_tri)[:, None], mapped,
+                                      n_interp)
+        # Backface flip applies to triangles only (sphere pre-negates).
+        tri_shading_n = jnp.where((hit.backface & is_tri)[:, None],
+                                  -tri_shading_n, tri_shading_n)
+        normal = (tri_shading_n if sph_n is None
+                  else jnp.where(is_tri[:, None], tri_shading_n, sph_n))
 
     return Surface(pos=pos, geom_normal=geom_n, normal=normal, uv=uv,
                    model=model, simple=simple)
@@ -203,8 +232,18 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
     orig_model_uv=(uv [R,2], simple [R]) — the walk breaks at the first
     occluder beyond the light and samples opacity at the ORIGINAL hit's
     UV/type with the occluder's material (mod.rs:324 quirk).
+
+    Fully opaque scenes take the any-hit occlusion fast path: every occluder
+    multiplies by (1-1)=0, so attenuation is binary.
     """
     att0 = jnp.where(active[:, None], jnp.broadcast_to(light_color, s_o.shape), 0.0)
+
+    if scene.all_opaque:
+        from path_tracer_tpu.ops.intersect import occluded
+
+        blocked = occluded(s_o, s_d, scene, surf_pos=surf_pos,
+                           max_dist=point_dist, block=spec.tri_block)
+        return jnp.where(blocked[:, None], 0.0, att0)
 
     def step(carry, _):
         att, t_prev, walking = carry

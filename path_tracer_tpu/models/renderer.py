@@ -5,6 +5,10 @@ accumulation buffer over pixels, one pass per sample, then post-processing
 (tonemap + gamma + u8). The rayon par_iter over pixels (mod.rs:106) becomes a
 flat pixel-id wavefront; tiles bound device memory for the O(rays x tris)
 brute-force path and become the sharding unit across chips.
+
+Accumulation lives on device (donated buffers) — launches stay async and the
+only host transfer is the final image (or a per-pass snapshot for the
+progressive viewer).
 """
 from __future__ import annotations
 
@@ -29,51 +33,59 @@ def integrator_spec(profile: Profile) -> IntegratorSpec:
     )
 
 
-@partial(jax.jit, static_argnames=("width", "height", "n_samples", "spec"))
-def _render_tile_batch(scene, pixel_ids, width, height, sample_start, n_samples,
-                       spec):
-    """Accumulate n_samples successive samples for one tile. [R,3] sum."""
+@partial(jax.jit,
+         static_argnames=("width", "height", "n_samples", "spec"),
+         donate_argnums=(0,))
+def _accumulate_tile(acc, scene, pixel_ids, width, height, sample_start,
+                     n_samples, spec):
+    """acc [R,3] += sum of n_samples successive samples for one tile."""
 
     def body(carry, k):
-        acc = carry
         rad = render_wavefront(scene, pixel_ids, width, height,
                                sample_start + k, spec)
-        return acc + rad, None
+        return carry + rad, None
 
-    init = jnp.zeros((pixel_ids.shape[0], 3), jnp.float32)
-    acc, _ = jax.lax.scan(body, init, jnp.arange(n_samples))
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(n_samples))
     return acc
 
 
 def render_pixel_sums(scene, width: int, height: int, sample_start: int,
                       n_samples: int, spec: IntegratorSpec,
                       tile_rays: int = 1 << 16,
-                      samples_per_launch: int = 1) -> np.ndarray:
+                      samples_per_launch: int = 1,
+                      pass_callback=None) -> np.ndarray:
     """Radiance sums [W*H, 3] over n_samples consecutive sample ids.
 
     The tiles x sample-batches launch loop without post-processing — used by
-    the renderer, the benchmark, and checkpointed renders.
+    the renderer, the benchmark, and checkpointed renders. ``pass_callback``
+    (if given) is called as cb(samples_done, accum_fn) after each sample
+    batch, where accum_fn() transfers the current [W*H,3] sums to host.
     """
     n_pix = width * height
     tile = min(tile_rays, max(1, n_pix))
     n_tiles = (n_pix + tile - 1) // tile
     spl = max(1, samples_per_launch)
 
-    accum = np.zeros((n_tiles * tile, 3), np.float32)
     all_ids = np.arange(n_tiles * tile, dtype=np.int32)
-    all_ids[n_pix:] = 0
+    all_ids[n_pix:] = 0  # padded lanes re-render pixel 0; discarded below
+    tile_ids = [jnp.asarray(all_ids[t * tile : (t + 1) * tile])
+                for t in range(n_tiles)]
+    accs = [jnp.zeros((tile, 3), jnp.float32) for _ in range(n_tiles)]
+
+    def snapshot():
+        return np.concatenate([np.asarray(a) for a in accs], axis=0)[:n_pix]
 
     sample = sample_start
     end = sample_start + n_samples
     while sample < end:
         k = min(spl, end - sample)
         for ti in range(n_tiles):
-            ids = jnp.asarray(all_ids[ti * tile : (ti + 1) * tile])
-            acc = _render_tile_batch(scene, ids, width, height,
-                                     jnp.int32(sample), k, spec)
-            accum[ti * tile : (ti + 1) * tile] += np.asarray(acc)
+            accs[ti] = _accumulate_tile(accs[ti], scene, tile_ids[ti], width,
+                                        height, jnp.int32(sample), k, spec)
         sample += k
-    return accum[:n_pix]
+        if pass_callback is not None:
+            pass_callback(sample - sample_start, snapshot)
+    return snapshot()
 
 
 def render(scene, profile: Profile, progress: bool = False,
@@ -81,37 +93,26 @@ def render(scene, profile: Profile, progress: bool = False,
     """Render a scene → [H,W,3] uint8. Accumulates radiance over
     profile.samples (sample ids run 1..=samples as in ref mod.rs:105)."""
     width, height = profile.resolution.width, profile.resolution.height
-    n_pix = width * height
     spec = integrator_spec(profile)
-
-    tile = min(profile.tile_rays, max(1, n_pix))
-    n_tiles = (n_pix + tile - 1) // tile
-    spl = max(1, profile.samples_per_launch)
-
-    accum = np.zeros((n_tiles * tile, 3), np.float32)
-    all_ids = np.arange(n_tiles * tile, dtype=np.int32)
-    all_ids[n_pix:] = 0  # padded lanes re-render pixel 0; discarded below
 
     t0 = time.time()
     bar = _ProgressBar(profile.samples, enabled=progress)
-    sample = 1
-    while sample <= profile.samples:
-        k = min(spl, profile.samples - sample + 1)
-        for ti in range(n_tiles):
-            ids = jnp.asarray(all_ids[ti * tile : (ti + 1) * tile])
-            acc = _render_tile_batch(scene, ids, width, height,
-                                     jnp.int32(sample), k, spec)
-            accum[ti * tile : (ti + 1) * tile] += np.asarray(acc)
+
+    def on_pass(done, snapshot):
         if viewer is not None:
-            viewer.update(_finalize(accum[:n_pix], sample + k - 1, profile,
-                                    width, height))
-        bar.advance(k)
-        sample += k
+            viewer.update(_finalize(snapshot(), done, profile, width, height))
+        bar.set(done)
+
+    accum = render_pixel_sums(
+        scene, width, height, 1, profile.samples, spec,
+        tile_rays=profile.tile_rays,
+        samples_per_launch=profile.samples_per_launch,
+        pass_callback=on_pass,
+    )
 
     elapsed = time.time() - t0
     bar.finish(f"Done: {elapsed:.1f}s")
-    image = _finalize(accum[:n_pix], profile.samples, profile, width, height)
-    return image
+    return _finalize(accum, profile.samples, profile, width, height)
 
 
 def _finalize(accum: np.ndarray, samples: int, profile: Profile, width, height):
@@ -139,10 +140,13 @@ class _ProgressBar:
               f"{self.done}/{self.total} ({time.time() - self.t0:.0f}s)",
               end="", flush=True)
 
-    def advance(self, k=1):
-        self.done += k
+    def set(self, done: int):
+        self.done = done
         if self.enabled:
             self._draw()
+
+    def advance(self, k=1):
+        self.set(self.done + k)
 
     def finish(self, msg: str):
         if self.enabled:

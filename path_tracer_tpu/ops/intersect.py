@@ -122,16 +122,28 @@ def closest_hit_triangles(o, d, t_prev, scene, block: int = 512) -> HitRecord:
     return HitRecord(t=bt, kind=kind, prim=bi, u=bu, v=bv, backface=bb)
 
 
+def _sphere_quadratic(o, d, scene):
+    """(a [R,1], b [R,S], cc [R,S]) of the per-sphere quadratic, computed
+    with [R,3]x[3,S] matmuls (MXU) instead of materializing [R,S,3]
+    broadcasts — same math as ref model.rs:26-37 up to f32 reassociation."""
+    c = scene.sph_center  # [S,3]
+    radius = scene.sph_radius  # [S]
+    a = _dot(d, d)[:, None]  # [R,1]
+    o_dot_d = _dot(o, d)[:, None]  # [R,1]
+    c_dot_d = jnp.dot(d, c.T, preferred_element_type=jnp.float32)  # [R,S]
+    b = 2.0 * (o_dot_d - c_dot_d)
+    o_dot_c = jnp.dot(o, c.T, preferred_element_type=jnp.float32)  # [R,S]
+    o_sq = _dot(o, o)[:, None]
+    c_sq = (_dot(c, c) - radius * radius)[None, :]
+    cc = o_sq - 2.0 * o_dot_c + c_sq
+    return a, b, cc
+
+
 def closest_hit_spheres(o, d, t_prev, scene) -> HitRecord:
     """Nearest valid sphere root per ray. Root valid iff root >= 0 (each root
     checked individually, ref model.rs:38-41,50) and root > t_prev. The far
     root carries a negated (inside) normal — tracked via ``backface``."""
-    c = scene.sph_center[None, :, :]  # [1,S,3]
-    radius = scene.sph_radius[None, :]  # [1,S]
-    oc = o[:, None, :] - c  # [R,S,3]
-    a = _dot(d[:, None, :], d[:, None, :])  # [R,1]→[R,S] via broadcast of d
-    b = 2.0 * _dot(oc, d[:, None, :])
-    cc = _dot(oc, oc) - radius * radius
+    a, b, cc = _sphere_quadratic(o, d, scene)
     disc = b * b - 4.0 * a * cc
     has = disc >= 0.0
     sq = jnp.sqrt(jnp.where(has, disc, 0.0))
@@ -159,12 +171,111 @@ def closest_hit_spheres(o, d, t_prev, scene) -> HitRecord:
     )
 
 
+def occluded(o, d, scene, surf_pos=None, max_dist=None,
+             block: int = 512) -> jnp.ndarray:
+    """[R] bool any-hit occlusion query — the fast shadow path for fully
+    opaque scenes, where the reference's occluder walk (ref mod.rs:283-331)
+    reduces to "is there ANY occluder (within range)".
+
+    For point lights pass surf_pos [R,3] and max_dist [R]: an occluder
+    counts only when its distance FROM THE SURFACE POINT is <= max_dist
+    (the reference breaks at the first occluder beyond the light,
+    mod.rs:320-323; with all hits opaque, any-in-range == nearest-in-range).
+    Distance uses |o + t*d - surf_pos| like the reference, expanded as
+    t^2|d|^2 + 2t(b.d) + |b|^2 with b = o - surf_pos (no [R,B,3] blowup).
+    """
+    r = o.shape[0]
+    if max_dist is not None:
+        bvec = o - surf_pos
+        b_dot_d = _dot(bvec, d)[:, None]
+        b_sq = _dot(bvec, bvec)[:, None]
+        d_sq = _dot(d, d)[:, None]
+        limit_sq = (max_dist * max_dist)[:, None]
+
+        def in_range(t):
+            dist_sq = t * t * d_sq + 2.0 * t * b_dot_d + b_sq
+            return dist_sq <= limit_sq
+    else:
+        def in_range(t):
+            return True
+
+    hit = jnp.zeros((r,), jnp.bool_)
+
+    if scene.num_real_triangles != 0:
+        if getattr(scene, "use_bvh", False):
+            # Nearest-hit check suffices: dist(t) is monotone in t, so if the
+            # nearest hit is out of range no hit is in range.
+            from path_tracer_tpu.ops.bvh_traverse import closest_hit_triangles_bvh
+
+            t_prev = jnp.full((r,), -1.0, jnp.float32)
+            tri = closest_hit_triangles_bvh(o, d, t_prev, scene)
+            ok = tri.valid
+            if max_dist is not None:
+                tr = jnp.where(jnp.isfinite(tri.t), tri.t, jnp.inf)
+                ok = ok & in_range(tr[:, None])[:, 0]
+            hit = hit | ok
+        else:
+            n = scene.tri_v0.shape[0]
+            blk = min(block, n)
+            v0b = scene.tri_v0.reshape(-1, blk, 3)
+            e1b = scene.tri_e1.reshape(-1, blk, 3)
+            e2b = scene.tri_e2.reshape(-1, blk, 3)
+            t_prev = jnp.full((r,), -1.0, jnp.float32)
+
+            def body(acc, blk_data):
+                v0, e1, e2 = blk_data
+                t, _, _, _, valid = moller_trumbore(o, d, v0, e1, e2, t_prev)
+                return acc | jnp.any(valid & in_range(t), axis=1), None
+
+            hit, _ = jax.lax.scan(body, hit, (v0b, e1b, e2b))
+
+    if scene.num_real_spheres != 0:
+        a, b, cc = _sphere_quadratic(o, d, scene)
+        disc = b * b - 4.0 * a * cc
+        has = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+        t1 = (-b - sq) / (2.0 * a)
+        t2 = (-b + sq) / (2.0 * a)
+        v1 = has & (t1 >= 0.0) & in_range(t1)
+        v2 = has & (t2 >= 0.0) & in_range(t2)
+        hit = hit | jnp.any(v1 | v2, axis=1)
+
+    return hit
+
+
+def _miss_record(r: int) -> HitRecord:
+    return HitRecord(
+        t=jnp.full((r,), jnp.inf, jnp.float32),
+        kind=jnp.zeros((r,), jnp.int32),
+        prim=jnp.zeros((r,), jnp.int32),
+        u=jnp.zeros((r,), jnp.float32),
+        v=jnp.zeros((r,), jnp.float32),
+        backface=jnp.zeros((r,), jnp.bool_),
+    )
+
+
 def closest_hit(o, d, t_prev, scene, block: int = 512) -> HitRecord:
     """Closest hit among all primitives with t > t_prev (pass t_prev=-1.0 for
     a fresh cast: triangles still enforce t > 1e-6; spheres allow t >= 0,
-    matching the reference's per-type cutoffs)."""
-    tri = closest_hit_triangles(o, d, t_prev, scene, block=block)
-    sph = closest_hit_spheres(o, d, t_prev, scene)
+    matching the reference's per-type cutoffs). Primitive classes the scene
+    does not contain are skipped statically (num_real_* == 0)."""
+    r = o.shape[0]
+    has_tris = scene.num_real_triangles != 0
+    has_sphs = scene.num_real_spheres != 0
+    if not has_tris:
+        tri = _miss_record(r)
+    elif getattr(scene, "use_bvh", False):
+        from path_tracer_tpu.ops.bvh_traverse import closest_hit_triangles_bvh
+
+        tri = closest_hit_triangles_bvh(o, d, t_prev, scene)
+    else:
+        tri = closest_hit_triangles(o, d, t_prev, scene, block=block)
+    sph = (closest_hit_spheres(o, d, t_prev, scene)
+           if has_sphs else _miss_record(r))
+    if not has_tris:
+        return sph
+    if not has_sphs:
+        return tri
     tri_wins = tri.t <= sph.t  # both inf → KIND_NONE either way
     pick = lambda a, b: jnp.where(tri_wins, a, b)
     kind = pick(tri.kind, sph.kind)

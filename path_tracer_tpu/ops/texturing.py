@@ -34,6 +34,8 @@ def _fetch(scene, tex_id, uv):
 
 def sample_rgb(scene, tex_id, uv, factor, simple, linearize: bool):
     """Channel3 sample [R,3]. simple: [R] bool — factor-only (sphere hits)."""
+    if scene.no_textures:
+        return factor
     texel = _fetch(scene, tex_id, uv)
     if linearize:
         texel = jnp.power(texel, 2.2)
@@ -44,6 +46,8 @@ def sample_rgb(scene, tex_id, uv, factor, simple, linearize: bool):
 
 def sample_gray(scene, tex_id, uv, factor, simple):
     """Channel1 sample [R]."""
+    if scene.no_textures:
+        return factor
     texel = _fetch(scene, tex_id, uv)[:, 0]
     use_factor = simple | (tex_id < 0)
     return jnp.where(use_factor, factor, texel * factor)
@@ -89,7 +93,12 @@ def sample_material(scene, model_id, uv, simple) -> MaterialSample:
 
 
 def sample_normal_map(scene, model_id, uv):
-    """Decoded normal-map vector [R,3] (texel*2-1) and a [R] bool has-map."""
+    """Decoded normal-map vector [R,3] (texel*2-1) and a has-map mask.
+
+    Returns (None, None) when the scene has no textures at all — the caller
+    skips the whole TBN branch statically."""
+    if scene.no_textures:
+        return None, None
     tex_id = scene.mat_normal_tex[model_id]
     texel = _fetch(scene, tex_id, uv)
     return texel * 2.0 - 1.0, tex_id >= 0

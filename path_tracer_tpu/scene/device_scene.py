@@ -98,6 +98,15 @@ class DeviceScene:
     cam_fov: jax.Array  # [] f32, vertical fov radians
     background: jax.Array  # [3] f32
 
+    # --- BVH over real triangles (C++ binned-SAH build, native/bvh.cpp) ---
+    # Packed node rows [N,8] (see ops/bvh_traverse.pack_nodes) and packed
+    # triangle rows [M,9] = (v0,e1,e2) in BVH-permuted order, padded by
+    # leaf_size degenerate rows so leaf windows never read out of bounds.
+    # Triangle SoA arrays above are stored in the SAME permuted order, so a
+    # BVH prim id indexes them directly.
+    bvh_nodes: jax.Array  # [N,8] f32
+    bvh_tris: jax.Array  # [M,9] f32
+
     # --- static (non-traced) scene facts; part of the jit key -------------
     # True when every material is fully opaque (opacity factor >= 1, no
     # opacity texture). Lets the integrator collapse the stochastic alpha
@@ -112,6 +121,20 @@ class DeviceScene:
     no_textures: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
+    # Real (unpadded) primitive counts; a zero lets the intersector skip the
+    # whole primitive class statically (tri arrays are padded to >= _TRI_PAD
+    # and sphere arrays to >= 1 even when the scene has none).
+    num_real_triangles: int = dataclasses.field(
+        metadata=dict(static=True), default=-1
+    )
+    num_real_spheres: int = dataclasses.field(
+        metadata=dict(static=True), default=-1
+    )
+    # Static BVH facts: traversal leaf window size, and whether the
+    # integrator should use BVH traversal instead of the brute-force block
+    # scan (small scenes are faster brute-force on TPU).
+    bvh_leaf_size: int = dataclasses.field(metadata=dict(static=True), default=4)
+    use_bvh: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -171,7 +194,8 @@ class _AtlasBuilder:
         return tex_id
 
 
-def build_device_scene(scene: isf.Scene, root) -> DeviceScene:
+def build_device_scene(scene: isf.Scene, root,
+                       use_bvh: Optional[bool] = None) -> DeviceScene:
     """Flatten an ISF scene into device SoA arrays.
 
     Mirrors Scene::load (ref: src/scene/internal/mod.rs:35-51) minus the
@@ -254,6 +278,46 @@ def build_device_scene(scene: isf.Scene, root) -> DeviceScene:
     if n_tris:
         tri_model_arr[:n_tris] = np.asarray(tri_model, np.int32)
 
+    n0 = _pad3(tri_rows["n0"], 3)
+    n1 = _pad3(tri_rows["n1"], 3)
+    n2 = _pad3(tri_rows["n2"], 3)
+
+    # --- BVH over the real triangles (C++ binned-SAH, native/bvh.cpp) -----
+    from path_tracer_tpu.ops.bvh_traverse import pack_nodes
+
+    leaf_size = 4
+    if n_tris:
+        from path_tracer_tpu.native import build_bvh
+
+        p0 = v0[:n_tris]
+        p1 = p0 + e1[:n_tris]
+        p2 = p0 + e2[:n_tris]
+        tri_min = np.minimum(np.minimum(p0, p1), p2)
+        tri_max = np.maximum(np.maximum(p0, p1), p2)
+        bvh = build_bvh(tri_min, tri_max, leaf_size=leaf_size)
+        # Store ALL triangle SoA arrays in BVH-permuted order so prim ids
+        # index them directly (padding rows stay at the tail).
+        perm = bvh.prim_order
+        for arr in (v0, e1, e2, uv0, uv1, uv2, tangent, n0, n1, n2):
+            arr[:n_tris] = arr[:n_tris][perm]
+        tri_model_arr[:n_tris] = tri_model_arr[:n_tris][perm]
+        bvh_nodes = pack_nodes(bvh.node_min, bvh.node_max, bvh.first_prim,
+                               bvh.prim_count, bvh.skip)
+    else:
+        # Single always-miss node so shapes stay valid.
+        bvh_nodes = pack_nodes(
+            np.full((1, 3), np.inf, np.float32),
+            np.full((1, 3), -np.inf, np.float32),
+            np.zeros(1, np.int32), np.zeros(1, np.int32),
+            np.ones(1, np.int32),
+        )
+    # Packed (v0,e1,e2) rows padded by leaf_size degenerate rows so leaf
+    # windows never index out of bounds.
+    bvh_tris = np.zeros((n_pad + leaf_size, 9), np.float32)
+    bvh_tris[:n_pad, 0:3] = v0
+    bvh_tris[:n_pad, 3:6] = e1
+    bvh_tris[:n_pad, 6:9] = e2
+
     # Spheres padded to >= 1 with a guaranteed-miss entry (center at 1e30 so
     # the quadratic discriminant is hugely negative for any practical ray).
     n_sph = max(1, len(sph_radius))
@@ -296,8 +360,7 @@ def build_device_scene(scene: isf.Scene, root) -> DeviceScene:
     atlas_data = jnp.asarray(atlas_data)
     return DeviceScene(
         tri_v0=v0, tri_e1=e1, tri_e2=e2,
-        tri_n0=f32(_pad3(tri_rows["n0"], 3)), tri_n1=f32(_pad3(tri_rows["n1"], 3)),
-        tri_n2=f32(_pad3(tri_rows["n2"], 3)),
+        tri_n0=f32(n0), tri_n1=f32(n1), tri_n2=f32(n2),
         tri_uv0=uv0, tri_uv1=uv1, tri_uv2=uv2,
         tri_tangent=tangent, tri_model=tri_model_arr,
         sph_center=centers, sph_radius=radii, sph_model=sph_model_arr,
@@ -325,5 +388,11 @@ def build_device_scene(scene: isf.Scene, root) -> DeviceScene:
             m.material.opacity.factor >= 1.0 and m.material.opacity.texture is None
             for m in scene.models
         ),
+        bvh_nodes=jnp.asarray(bvh_nodes),
+        bvh_tris=jnp.asarray(bvh_tris),
         no_textures=len(atlas.offsets) == 1,
+        num_real_triangles=n_tris,
+        num_real_spheres=len(sph_radius),
+        bvh_leaf_size=leaf_size,
+        use_bvh=use_bvh if use_bvh is not None else n_tris >= 1024,
     )
