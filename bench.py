@@ -28,8 +28,14 @@ TIMED_SAMPLES = 16
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/path_tracer_tpu/xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from path_tracer_tpu.models.integrator import IntegratorSpec
     from path_tracer_tpu.models.renderer import render_pixel_sums

@@ -33,6 +33,13 @@ def _build_parser() -> argparse.ArgumentParser:
                         help="Generate debug textures (AOV dump)")
     render.add_argument("-p", "--profile", default=os.environ.get("PROFILE"),
                         help="YAML file with the rendering profile")
+    render.add_argument("--checkpoint", default=None, metavar="PATH",
+                        help="Persist/resume the accumulation buffer at PATH "
+                             "(TPU addition; the reference never persists "
+                             "progressive passes)")
+    render.add_argument("--checkpoint-every", type=int, default=0,
+                        metavar="N", help="Checkpoint every N samples "
+                                          "(0 = every pass batch)")
 
     convert = sub.add_parser("convert", help="Convert scenes into ISF format")
     convert.add_argument("input", help="Input glTF/GLB file name")
@@ -40,7 +47,18 @@ def _build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: CLI invocations are one-shot
+    processes, so without this every render pays full (remote) compilation."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/path_tracer_tpu/xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def run_render(args) -> None:
+    _enable_compilation_cache()
     from path_tracer_tpu.config import Profile
     from path_tracer_tpu.scene import load_scene
     from path_tracer_tpu.utils.image_io import save_png
@@ -62,7 +80,9 @@ def run_render(args) -> None:
 
     from path_tracer_tpu.models.renderer import render
 
-    image = render(scene, profile, progress=not args.quiet, viewer=viewer)
+    image = render(scene, profile, progress=not args.quiet, viewer=viewer,
+                   checkpoint_path=args.checkpoint,
+                   checkpoint_every=args.checkpoint_every)
     save_png(image, args.output)
     if viewer is not None:
         viewer.close()

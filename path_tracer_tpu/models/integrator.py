@@ -195,8 +195,12 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
         backface=jnp.zeros((r,), jnp.bool_),
     )
 
-    def step(carry, k):
-        sel, seen_any, t_prev, active = carry
+    def cond(carry):
+        k, sel, seen_any, t_prev, active = carry
+        return (k < steps) & jnp.any(active)
+
+    def step(carry):
+        k, sel, seen_any, t_prev, active = carry
         hit = closest_hit(o, d, t_prev, scene, block=spec.tri_block)
         found = active & hit.valid
         # Opacity of this candidate hit at its own UV/type.
@@ -211,12 +215,17 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
         # Continue only for rays that found a hit and rejected it.
         active = found & ~accept
         t_prev = jnp.where(active, hit.t, t_prev)
-        return (sel, seen_any, t_prev, active), None
+        return (k + 1, sel, seen_any, t_prev, active)
 
-    init = (sel0, jnp.zeros((r,), jnp.bool_), jnp.full((r,), -1.0, jnp.float32),
-            walking)
-    (sel, seen_any, _, _), _ = jax.lax.scan(
-        step, init, jnp.arange(steps, dtype=jnp.int32)
+    # Early-exit while_loop: mostly-opaque wavefronts stop after 1-2 casts
+    # instead of always paying `steps` full traversals. The outputs are
+    # DETACHED (stop_gradient): hit selection is a discrete event (SURVEY §7)
+    # and lax.while_loop has no reverse-mode rule — gradients w.r.t.
+    # materials/lights flow through shading, never through hit geometry.
+    init = (jnp.int32(0), sel0, jnp.zeros((r,), jnp.bool_),
+            jnp.full((r,), -1.0, jnp.float32), walking)
+    _, sel, seen_any, _, _ = jax.lax.stop_gradient(
+        jax.lax.while_loop(cond, step, init)
     )
 
     first_missed = walking & ~seen_any
@@ -245,27 +254,43 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
                            max_dist=point_dist, block=spec.tri_block)
         return jnp.where(blocked[:, None], 0.0, att0)
 
-    def step(carry, _):
-        att, t_prev, walking = carry
+    # The walk carries a scalar transmittance (opacity is channel-uniform);
+    # the light color multiplies OUTSIDE the loop so its gradient flows
+    # around the (reverse-mode-undifferentiable, detached) while_loop.
+    # Early-out parity with the reference's `att == 0` break (mod.rs:297):
+    # att0 != 0 lanes with transmittance 0 stop walking.
+    color_nonzero = jnp.sum(jnp.abs(att0), axis=-1) != 0.0
+
+    def cond(carry):
+        k, trans, t_prev, walking = carry
+        return (k < steps) & jnp.any(walking)
+
+    def step(carry):
+        k, trans, t_prev, walking = carry
         hit = closest_hit(s_o, s_d, t_prev, scene, block=spec.tri_block)
         found = walking & hit.valid
         model, uv, simple = _hit_model_uv(scene, hit)
         if point_dist is not None:
             # Behind-the-light cutoff measured from the ORIGINAL surface point.
-            occ_pos = s_o + s_d * hit.t[:, None]
+            occ_pos = s_o + s_d * jnp.where(
+                jnp.isfinite(hit.t), hit.t, 0.0)[:, None]
             occ_dist = jnp.linalg.norm(occ_pos - surf_pos, axis=-1)
             behind = occ_dist > point_dist
             found = found & ~behind
             uv, simple = orig_model_uv  # original hit's UV and hit-type
         op = texturing.sample_opacity(scene, model, uv, simple)
-        att = jnp.where(found[:, None], att * (1.0 - op)[:, None], att)
-        walking = found & (jnp.sum(att, axis=-1) != 0.0)
+        trans = jnp.where(found, trans * (1.0 - op), trans)
+        walking = found & (trans != 0.0)
         t_prev = jnp.where(walking, hit.t, t_prev)
-        return (att, t_prev, walking), None
+        return (k + 1, trans, t_prev, walking)
 
-    init = (att0, jnp.full((s_o.shape[0],), -1.0, jnp.float32), active)
-    (att, _, _), _ = jax.lax.scan(step, init, None, length=steps)
-    return att
+    r = s_o.shape[0]
+    init = (jnp.int32(0), jnp.ones((r,), jnp.float32),
+            jnp.full((r,), -1.0, jnp.float32), active & color_nonzero)
+    _, trans, _, _ = jax.lax.stop_gradient(
+        jax.lax.while_loop(cond, step, init)
+    )
+    return att0 * trans[:, None]
 
 
 def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
@@ -291,7 +316,12 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
     alpha_steps = 1 if scene.all_opaque else spec.alpha_walk_steps
     shadow_steps = 1 if scene.all_opaque else spec.shadow_walk_steps
 
-    for bounce in range(spec.bounces + 1):
+    # The bounce loop is a lax.scan over a single compiled bounce body (the
+    # reference unrolls per pixel, src/renderer/mod.rs:180; unrolling here
+    # would multiply XLA program size by bounces+1). ``bounce`` is traced:
+    # last-bounce/RR behavior is masked, and rng sites offset by it.
+    def bounce_body(carry, bounce):
+        o, d, color, throughput, alive = carry
         sel, seen_any, first_missed = _alpha_walk(
             scene, o, d, alive, pixel_ids, sample_id, bounce, spec, alpha_steps
         )
@@ -341,35 +371,47 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
             color = jnp.where(lit[:, None], color + throughput * ev * radiance,
                               color)
 
-        # Indirect bounce (mod.rs:264-275)
-        if bounce < spec.bounces:
-            r1 = rng.uniform(pixel_ids, sample_id,
-                             rng.SITE_GGX_R1 + rng.SITE_STRIDE * bounce, spec.seed)
-            r2 = rng.uniform(pixel_ids, sample_id,
-                             rng.SITE_GGX_R2 + rng.SITE_STRIDE * bounce, spec.seed)
-            new_d, wm = brdf.sample(mat, surf.normal, view, r1, r2)
-            # Detached sampling: gradients flow through eval_indirect's
-            # explicit material dependence, not through the sampled
-            # direction (discrete-event detach; SURVEY §7).
-            new_d = jax.lax.stop_gradient(new_d)
-            wm = jax.lax.stop_gradient(wm)
-            ind = brdf.eval_indirect(mat, f0, surf.normal, view, new_d, wm)
-            throughput = jnp.where(alive[:, None], throughput * ind, throughput)
-            o = jnp.where(alive[:, None], surf.pos + surf.geom_normal * NORMAL_BIAS, o)
-            d = jnp.where(alive[:, None], new_d, d)
+        # Indirect bounce (mod.rs:264-275), masked out on the last bounce
+        # (ref passes compute_indirect = bounce < bounces, mod.rs:216).
+        indirect = alive & (bounce < spec.bounces)
+        r1 = rng.uniform(pixel_ids, sample_id,
+                         rng.SITE_GGX_R1 + rng.SITE_STRIDE * bounce, spec.seed)
+        r2 = rng.uniform(pixel_ids, sample_id,
+                         rng.SITE_GGX_R2 + rng.SITE_STRIDE * bounce, spec.seed)
+        new_d, wm = brdf.sample(mat, surf.normal, view, r1, r2)
+        # Detached sampling: gradients flow through eval_indirect's explicit
+        # material dependence, not through the sampled direction
+        # (discrete-event detach; SURVEY §7).
+        new_d = jax.lax.stop_gradient(new_d)
+        wm = jax.lax.stop_gradient(wm)
+        ind = brdf.eval_indirect(mat, f0, surf.normal, view, new_d, wm)
+        throughput = jnp.where(indirect[:, None], throughput * ind, throughput)
+        o = jnp.where(indirect[:, None],
+                      surf.pos + surf.geom_normal * NORMAL_BIAS, o)
+        d = jnp.where(indirect[:, None], new_d, d)
+        alive = alive & (bounce < spec.bounces)
 
         # Throughput cutoff (mod.rs:219)
         alive = alive & (_dot(throughput, throughput) >= THROUGHPUT_CUTOFF)
 
         # Russian roulette for bounce > 3 (mod.rs:223, utils.rs:23-31):
-        # T /= p unconditionally, kill when rand > p.
-        if bounce > 3 and bounce < spec.bounces:
-            p = jnp.max(throughput, axis=-1)
-            p_safe = jnp.where(alive, jnp.maximum(p, 1e-30), 1.0)
-            throughput = jnp.where(alive[:, None], throughput / p_safe[:, None],
-                                   throughput)
-            rnd = rng.uniform(pixel_ids, sample_id,
-                              rng.SITE_RR + rng.SITE_STRIDE * bounce, spec.seed)
-            alive = alive & ~(rnd > p)
+        # T /= p unconditionally, kill when rand > p. (A kill or division
+        # after the FINAL bounce is a no-op in the reference — the loop
+        # exits — so masking with `alive`, already false past the last
+        # bounce, preserves semantics.)
+        rr = alive & (bounce > 3)
+        p = jnp.max(throughput, axis=-1)
+        p_safe = jnp.where(rr, jnp.maximum(p, 1e-30), 1.0)
+        throughput = jnp.where(rr[:, None], throughput / p_safe[:, None],
+                               throughput)
+        rnd = rng.uniform(pixel_ids, sample_id,
+                          rng.SITE_RR + rng.SITE_STRIDE * bounce, spec.seed)
+        alive = alive & ~(rr & (rnd > p))
 
+        return (o, d, color, throughput, alive), None
+
+    init = (o, d, color, throughput, alive)
+    (o, d, color, throughput, alive), _ = jax.lax.scan(
+        bounce_body, init, jnp.arange(spec.bounces + 1, dtype=jnp.int32)
+    )
     return color

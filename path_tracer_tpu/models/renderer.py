@@ -53,7 +53,8 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
                       n_samples: int, spec: IntegratorSpec,
                       tile_rays: int = 1 << 16,
                       samples_per_launch: int = 1,
-                      pass_callback=None) -> np.ndarray:
+                      pass_callback=None,
+                      init_accum: np.ndarray | None = None) -> np.ndarray:
     """Radiance sums [W*H, 3] over n_samples consecutive sample ids.
 
     The tiles x sample-batches launch loop without post-processing — used by
@@ -70,7 +71,13 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
     all_ids[n_pix:] = 0  # padded lanes re-render pixel 0; discarded below
     tile_ids = [jnp.asarray(all_ids[t * tile : (t + 1) * tile])
                 for t in range(n_tiles)]
-    accs = [jnp.zeros((tile, 3), jnp.float32) for _ in range(n_tiles)]
+    if init_accum is not None:
+        padded = np.zeros((n_tiles * tile, 3), np.float32)
+        padded[:n_pix] = init_accum
+        accs = [jnp.asarray(padded[t * tile : (t + 1) * tile])
+                for t in range(n_tiles)]
+    else:
+        accs = [jnp.zeros((tile, 3), jnp.float32) for _ in range(n_tiles)]
 
     def snapshot():
         return np.concatenate([np.asarray(a) for a in accs], axis=0)[:n_pix]
@@ -89,29 +96,68 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
 
 
 def render(scene, profile: Profile, progress: bool = False,
-           viewer=None) -> np.ndarray:
+           viewer=None, checkpoint_path=None,
+           checkpoint_every: int = 0) -> np.ndarray:
     """Render a scene → [H,W,3] uint8. Accumulates radiance over
-    profile.samples (sample ids run 1..=samples as in ref mod.rs:105)."""
+    profile.samples (sample ids run 1..=samples as in ref mod.rs:105).
+
+    With ``checkpoint_path``, the accumulation buffer is persisted every
+    ``checkpoint_every`` samples (default: every pass batch) and a matching
+    existing checkpoint resumes the render at the next sample id.
+    """
     width, height = profile.resolution.width, profile.resolution.height
     spec = integrator_spec(profile)
 
+    init_accum = None
+    samples_done = 0
+    fp = None
+    if checkpoint_path is not None:
+        from path_tracer_tpu.utils import checkpoint as ckpt
+
+        fp = ckpt.fingerprint(width, height, profile.bounces, profile.seed,
+                              scene)
+        loaded = ckpt.load(checkpoint_path, fp)
+        if loaded is not None:
+            init_accum, samples_done = loaded
+            samples_done = min(samples_done, profile.samples)
+
     t0 = time.time()
     bar = _ProgressBar(profile.samples, enabled=progress)
+    bar.set(samples_done)
+    last_saved = samples_done
 
-    def on_pass(done, snapshot):
+    def on_pass(done_in_run, snapshot):
+        nonlocal last_saved
+        done = samples_done + done_in_run
         if viewer is not None:
             viewer.update(_finalize(snapshot(), done, profile, width, height))
+        if checkpoint_path is not None and (
+            checkpoint_every <= 0 or done - last_saved >= checkpoint_every
+            or done >= profile.samples
+        ):
+            from path_tracer_tpu.utils import checkpoint as ckpt
+
+            ckpt.save(checkpoint_path, snapshot(), done, fp)
+            last_saved = done
         bar.set(done)
 
-    accum = render_pixel_sums(
-        scene, width, height, 1, profile.samples, spec,
-        tile_rays=profile.tile_rays,
-        samples_per_launch=profile.samples_per_launch,
-        pass_callback=on_pass,
-    )
+    if samples_done < profile.samples:
+        accum = render_pixel_sums(
+            scene, width, height, samples_done + 1,
+            profile.samples - samples_done, spec,
+            tile_rays=profile.tile_rays,
+            samples_per_launch=profile.samples_per_launch,
+            pass_callback=on_pass,
+            init_accum=init_accum,
+        )
+    else:
+        accum = init_accum
 
     elapsed = time.time() - t0
-    bar.finish(f"Done: {elapsed:.1f}s")
+    n_rays = width * height * (profile.samples - samples_done) \
+        * (profile.bounces + 1)
+    bar.finish(f"Done: {elapsed:.1f}s ({n_rays / max(elapsed, 1e-9) / 1e6:.1f}"
+               f" Mray/s)")
     return _finalize(accum, profile.samples, profile, width, height)
 
 

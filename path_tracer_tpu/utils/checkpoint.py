@@ -1,0 +1,61 @@
+"""Sample-chunk checkpointing of the accumulation buffer.
+
+The reference keeps its accumulation buffer only in memory
+(ref: src/renderer/mod.rs:81,105) — progressive passes exist but are never
+persisted. For long TPU renders (and the train-loop analog) we persist
+(radiance sums, samples_done, config fingerprint) after every pass chunk;
+resuming continues at the next sample id with identical results because the
+RNG is counter-based per (pixel, sample) (ops/rng.py).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_VERSION = 1
+
+
+def fingerprint(width: int, height: int, bounces: int, seed: int,
+                scene) -> str:
+    """Cheap config fingerprint: geometry/material checksums + render dims.
+    Guards against resuming a checkpoint into a different render."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(f"{_VERSION}|{width}x{height}|b{bounces}|s{seed}".encode())
+    for arr in (scene.tri_v0, scene.sph_center, scene.mat_albedo_factor,
+                scene.background):
+        h.update(np.asarray(arr).tobytes())
+    return h.hexdigest()[:16]
+
+
+def save(path, accum: np.ndarray, samples_done: int, fp: str) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    np.savez_compressed(
+        tmp, accum=accum, samples_done=np.int64(samples_done),
+        meta=json.dumps({"version": _VERSION, "fingerprint": fp}),
+    )
+    # np.savez appends .npz to the name it opens; normalize then atomically
+    # replace so a crash mid-write never corrupts the checkpoint.
+    written = tmp if tmp.exists() else tmp.with_suffix(tmp.suffix + ".npz")
+    written.replace(path)
+
+
+def load(path, fp: str) -> Optional[Tuple[np.ndarray, int]]:
+    """(accum, samples_done) or None if absent/mismatched."""
+    path = Path(path)
+    if not path.exists():
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta.get("fingerprint") != fp:
+            raise ValueError(
+                f"checkpoint {path} was written by a different render config "
+                f"({meta.get('fingerprint')} != {fp})"
+            )
+        return z["accum"].copy(), int(z["samples_done"])
