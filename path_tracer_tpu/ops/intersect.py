@@ -83,7 +83,8 @@ def closest_hit_triangles(o, d, t_prev, scene, block: int = 512) -> HitRecord:
     """Scan triangle blocks keeping a running argmin. o,d: [R,3]; t_prev: [R]."""
     n = scene.tri_v0.shape[0]
     block = min(block, n)
-    assert n % block == 0, f"triangle count {n} not a multiple of block {block}"
+    while n % block:  # n is padded to a multiple of 256 (_TRI_PAD)
+        block //= 2
     r = o.shape[0]
 
     v0b = scene.tri_v0.reshape(-1, block, 3)
@@ -202,13 +203,11 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
     hit = jnp.zeros((r,), jnp.bool_)
 
     if scene.num_real_triangles != 0:
-        if getattr(scene, "use_bvh", False):
+        if _on_tpu() or getattr(scene, "use_bvh", False):
             # Nearest-hit check suffices: dist(t) is monotone in t, so if the
             # nearest hit is out of range no hit is in range.
-            from path_tracer_tpu.ops.bvh_traverse import closest_hit_triangles_bvh
-
             t_prev = jnp.full((r,), -1.0, jnp.float32)
-            tri = closest_hit_triangles_bvh(o, d, t_prev, scene)
+            tri = _closest_hit_tris_dispatch(o, d, t_prev, scene, block)
             ok = tri.valid
             if max_dist is not None:
                 tr = jnp.where(jnp.isfinite(tri.t), tri.t, jnp.inf)
@@ -217,6 +216,8 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
         else:
             n = scene.tri_v0.shape[0]
             blk = min(block, n)
+            while n % blk:
+                blk //= 2
             v0b = scene.tri_v0.reshape(-1, blk, 3)
             e1b = scene.tri_e1.reshape(-1, blk, 3)
             e2b = scene.tri_e2.reshape(-1, blk, 3)
@@ -254,6 +255,34 @@ def _miss_record(r: int) -> HitRecord:
     )
 
 
+def _on_tpu() -> bool:
+    """True when the default backend is a real TPU — the Pallas kernels
+    (ops/pallas_intersect.py, ops/pallas_bvh.py) only compile there; CPU
+    tests use the jnp reference paths."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing never fatal
+        return False
+
+
+def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int) -> HitRecord:
+    """Pick the triangle closest-hit implementation: Pallas on TPU (packet
+    BVH when scene.use_bvh, else fused brute force), jnp elsewhere."""
+    if _on_tpu():
+        if getattr(scene, "use_bvh", False):
+            from path_tracer_tpu.ops.pallas_bvh import closest_hit_triangles_packet
+
+            return closest_hit_triangles_packet(o, d, t_prev, scene)
+        from path_tracer_tpu.ops.pallas_intersect import closest_hit_triangles_pallas
+
+        return closest_hit_triangles_pallas(o, d, t_prev, scene)
+    if getattr(scene, "use_bvh", False):
+        from path_tracer_tpu.ops.bvh_traverse import closest_hit_triangles_bvh
+
+        return closest_hit_triangles_bvh(o, d, t_prev, scene)
+    return closest_hit_triangles(o, d, t_prev, scene, block=block)
+
+
 def closest_hit(o, d, t_prev, scene, block: int = 512) -> HitRecord:
     """Closest hit among all primitives with t > t_prev (pass t_prev=-1.0 for
     a fresh cast: triangles still enforce t > 1e-6; spheres allow t >= 0,
@@ -264,12 +293,8 @@ def closest_hit(o, d, t_prev, scene, block: int = 512) -> HitRecord:
     has_sphs = scene.num_real_spheres != 0
     if not has_tris:
         tri = _miss_record(r)
-    elif getattr(scene, "use_bvh", False):
-        from path_tracer_tpu.ops.bvh_traverse import closest_hit_triangles_bvh
-
-        tri = closest_hit_triangles_bvh(o, d, t_prev, scene)
     else:
-        tri = closest_hit_triangles(o, d, t_prev, scene, block=block)
+        tri = _closest_hit_tris_dispatch(o, d, t_prev, scene, block)
     sph = (closest_hit_spheres(o, d, t_prev, scene)
            if has_sphs else _miss_record(r))
     if not has_tris:
