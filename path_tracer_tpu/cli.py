@@ -40,6 +40,9 @@ def _build_parser() -> argparse.ArgumentParser:
     render.add_argument("--checkpoint-every", type=int, default=0,
                         metavar="N", help="Checkpoint every N samples "
                                           "(0 = every pass batch)")
+    render.add_argument("--profile-trace", default=None, metavar="DIR",
+                        help="Capture a JAX profiler trace of the render "
+                             "into DIR (open with TensorBoard/XProf)")
 
     convert = sub.add_parser("convert", help="Convert scenes into ISF format")
     convert.add_argument("input", help="Input glTF/GLB file name")
@@ -80,9 +83,21 @@ def run_render(args) -> None:
 
     from path_tracer_tpu.models.renderer import render
 
-    image = render(scene, profile, progress=not args.quiet, viewer=viewer,
-                   checkpoint_path=args.checkpoint,
-                   checkpoint_every=args.checkpoint_every)
+    if args.profile_trace:
+        import contextlib
+
+        import jax.profiler
+
+        trace_cm = jax.profiler.trace(args.profile_trace)
+    else:
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
+
+    with trace_cm:
+        image = render(scene, profile, progress=not args.quiet, viewer=viewer,
+                       checkpoint_path=args.checkpoint,
+                       checkpoint_every=args.checkpoint_every)
     save_png(image, args.output)
     if viewer is not None:
         viewer.close()

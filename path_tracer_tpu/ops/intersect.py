@@ -271,8 +271,17 @@ def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int) -> HitRecord:
     if _on_tpu():
         if getattr(scene, "use_bvh", False):
             from path_tracer_tpu.ops.pallas_bvh import closest_hit_triangles_packet
+            from path_tracer_tpu.ops.sorting import ray_sort_keys, sort_permutation
 
-            return closest_hit_triangles_packet(o, d, t_prev, scene)
+            # Packet traversal cost is the per-tile union of node paths —
+            # sort rays by (origin cell, direction octant) Morton key so
+            # tiles stay coherent, then scatter results back.
+            root = scene.bvh_nodes[0]
+            keys = ray_sort_keys(o, d, root[0:3], root[3:6])
+            perm, inv = sort_permutation(keys)
+            hit = closest_hit_triangles_packet(o[perm], d[perm],
+                                               t_prev[perm], scene)
+            return HitRecord(*[f[inv] for f in hit])
         from path_tracer_tpu.ops.pallas_intersect import closest_hit_triangles_pallas
 
         return closest_hit_triangles_pallas(o, d, t_prev, scene)

@@ -38,119 +38,133 @@ RAY_TILE = 256  # rays per packet (lane dimension)
 
 
 def _kernel(o_ref, d_ref, tp_ref, nodes_ref, nodes_i_ref, tris_ref, fout_ref,
-            iout_ref, *, n_nodes: int, leaf_size: int):
-    ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
-    dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
-    t_prev = tp_ref[0, :]
-    rt = ox.shape[0]
+            iout_ref, *, n_nodes: int, leaf_size: int, n_tiles: int):
+    """Single program; loops over ray tiles so the node/tri tables are
+    VMEM-resident exactly once (a pipelined grid would double-buffer them
+    and overflow VMEM for ~100k-triangle scenes)."""
 
-    inv_dx = 1.0 / dx
-    inv_dy = 1.0 / dy
-    inv_dz = 1.0 / dz
+    def tile_body(tile, _):
+        base = tile * RAY_TILE
+        ox = o_ref[0, pl.ds(base, RAY_TILE)]
+        oy = o_ref[1, pl.ds(base, RAY_TILE)]
+        oz = o_ref[2, pl.ds(base, RAY_TILE)]
+        dx = d_ref[0, pl.ds(base, RAY_TILE)]
+        dy = d_ref[1, pl.ds(base, RAY_TILE)]
+        dz = d_ref[2, pl.ds(base, RAY_TILE)]
+        t_prev = tp_ref[0, pl.ds(base, RAY_TILE)]
+        rt = RAY_TILE
 
-    def slab(mn0, mn1, mn2, mx0, mx1, mx2):
-        t0x = (mn0 - ox) * inv_dx
-        t1x = (mx0 - ox) * inv_dx
-        t0y = (mn1 - oy) * inv_dy
-        t1y = (mx1 - oy) * inv_dy
-        t0z = (mn2 - oz) * inv_dz
-        t1z = (mx2 - oz) * inv_dz
-        # min/max pairs; NaN (0*inf) safe: jnp.minimum/maximum propagate the
-        # second arg for NaN first arg — use explicit nan-robust ordering.
-        lox = jnp.minimum(t0x, t1x)
-        hix = jnp.maximum(t0x, t1x)
-        loy = jnp.minimum(t0y, t1y)
-        hiy = jnp.maximum(t0y, t1y)
-        loz = jnp.minimum(t0z, t1z)
-        hiz = jnp.maximum(t0z, t1z)
-        tn = jnp.maximum(jnp.maximum(lox, loy), loz)
-        tf = jnp.minimum(jnp.minimum(hix, hiy), hiz)
-        return tn, tf
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
 
-    def mt_one(base_row, k, best, count):
-        """Test triangle row base_row+k against all lanes."""
-        bt, bi, bu, bv, bb = best
-        pid = base_row + k
-        row = tris_ref[pid, :]  # [9] scalar-indexed row
-        v0x, v0y, v0z = row[0], row[1], row[2]
-        e1x, e1y, e1z = row[3], row[4], row[5]
-        e2x, e2y, e2z = row[6], row[7], row[8]
+        def slab(mn0, mn1, mn2, mx0, mx1, mx2):
+            t0x = (mn0 - ox) * inv_dx
+            t1x = (mx0 - ox) * inv_dx
+            t0y = (mn1 - oy) * inv_dy
+            t1y = (mx1 - oy) * inv_dy
+            t0z = (mn2 - oz) * inv_dz
+            t1z = (mx2 - oz) * inv_dz
+            lox = jnp.minimum(t0x, t1x)
+            hix = jnp.maximum(t0x, t1x)
+            loy = jnp.minimum(t0y, t1y)
+            hiy = jnp.maximum(t0y, t1y)
+            loz = jnp.minimum(t0z, t1z)
+            hiz = jnp.maximum(t0z, t1z)
+            tn = jnp.maximum(jnp.maximum(lox, loy), loz)
+            tf = jnp.minimum(jnp.minimum(hix, hiy), hiz)
+            return tn, tf
 
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        ok = (jnp.abs(det) >= DET_EPS) & (k < count)
-        invdet = 1.0 / jnp.where(jnp.abs(det) >= DET_EPS, det, 1.0)
+        def mt_one(base_row, k, best, count):
+            """Test triangle row base_row+k against all lanes."""
+            bt, bi, bu, bv, bb = best
+            pid = base_row + k
+            row = tris_ref[pid, :]  # [9] scalar-indexed row
+            v0x, v0y, v0z = row[0], row[1], row[2]
+            e1x, e1y, e1z = row[3], row[4], row[5]
+            e2x, e2y, e2z = row[6], row[7], row[8]
 
-        tvx = ox - v0x
-        tvy = oy - v0y
-        tvz = oz - v0z
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
-        ok &= (u >= 0.0) & (u <= 1.0)
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            ok = (jnp.abs(det) >= DET_EPS) & (k < count)
+            invdet = 1.0 / jnp.where(jnp.abs(det) >= DET_EPS, det, 1.0)
 
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v = (dx * qvx + dy * qvy + dz * qvz) * invdet
-        ok &= (v >= 0.0) & (u + v <= 1.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
+            ok &= (u >= 0.0) & (u <= 1.0)
 
-        t = (e2x * qvx + e2y * qvy + e2z * qvz) * invdet
-        ok &= (t >= T_MIN) & (t > t_prev)
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * invdet
+            ok &= (v >= 0.0) & (u + v <= 1.0)
 
-        better = ok & (t < bt)
-        bt = jnp.where(better, t, bt)
-        bi = jnp.where(better, pid, bi)
-        bu = jnp.where(better, u, bu)
-        bv = jnp.where(better, v, bv)
-        # float mask — 1-D bool vectors in loop carries crash Mosaic
-        bb = jnp.where(better, jnp.where(det < 0.0, 1.0, 0.0), bb)
-        return bt, bi, bu, bv, bb
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * invdet
+            ok &= (t >= T_MIN) & (t > t_prev)
 
-    def cond(state):
-        return state[0] < n_nodes
+            better = ok & (t < bt)
+            bt = jnp.where(better, t, bt)
+            bi = jnp.where(better, pid, bi)
+            bu = jnp.where(better, u, bu)
+            bv = jnp.where(better, v, bv)
+            # float mask — 1-D bool vectors in loop carries crash Mosaic
+            bb = jnp.where(better, jnp.where(det < 0.0, 1.0, 0.0), bb)
+            return bt, bi, bu, bv, bb
 
-    def body(state):
-        i, bt, bi, bu, bv, bb = state
-        node = nodes_ref[i, :]  # [8] scalar-indexed row
-        tn, tf = slab(node[0], node[1], node[2], node[3], node[4], node[5])
-        meta = nodes_i_ref[i, :]  # [2] int32 (scalar bitcast doesn't lower)
-        skip = meta[0]
-        leaf = meta[1]
-        first = leaf >> 8
-        count = leaf & 0xFF
+        def cond(state):
+            return state[0] < n_nodes
 
-        lane_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= bt) & (tf > t_prev)
-        hit_any = jnp.any(lane_hit)
-        is_leaf = count > 0
+        def body(state):
+            i, bt, bi, bu, bv, bb = state
+            node = nodes_ref[i, :]  # [8] scalar-indexed row
+            tn, tf = slab(node[0], node[1], node[2], node[3], node[4],
+                          node[5])
+            meta = nodes_i_ref[i, :]  # [2] int32 (scalar bitcast: no lower)
+            skip = meta[0]
+            leaf = meta[1]
+            first = leaf >> 8
+            count = leaf & 0xFF
 
-        def visit_leaf(best):
-            for k in range(leaf_size):
-                best = mt_one(first, k, best, count)
-            return best
+            lane_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= bt) \
+                & (tf > t_prev)
+            hit_any = jnp.any(lane_hit)
+            is_leaf = count > 0
 
-        best = (bt, bi, bu, bv, bb)
-        best = jax.lax.cond(hit_any & is_leaf, visit_leaf, lambda b: b, best)
-        bt, bi, bu, bv, bb = best
+            def visit_leaf(best):
+                for k in range(leaf_size):
+                    best = mt_one(first, k, best, count)
+                return best
 
-        nxt = jnp.where(hit_any & ~is_leaf, i + 1, skip)
-        return (nxt, bt, bi, bu, bv, bb)
+            best = (bt, bi, bu, bv, bb)
+            best = jax.lax.cond(hit_any & is_leaf, visit_leaf, lambda b: b,
+                                best)
+            bt, bi, bu, bv, bb = best
 
-    init = (
-        jnp.int32(0),
-        jnp.full((rt,), jnp.inf, jnp.float32),
-        jnp.full((rt,), -1, jnp.int32),
-        jnp.zeros((rt,), jnp.float32),
-        jnp.zeros((rt,), jnp.float32),
-        jnp.zeros((rt,), jnp.float32),
-    )
-    _, bt, bi, bu, bv, bb = jax.lax.while_loop(cond, body, init)
+            nxt = jnp.where(hit_any & ~is_leaf, i + 1, skip)
+            return (nxt, bt, bi, bu, bv, bb)
 
-    fout_ref[0, :] = bt
-    fout_ref[1, :] = bu
-    fout_ref[2, :] = bv
-    fout_ref[3, :] = bb
-    iout_ref[0, :] = bi
+        init = (
+            jnp.int32(0),
+            jnp.full((rt,), jnp.inf, jnp.float32),
+            jnp.full((rt,), -1, jnp.int32),
+            jnp.zeros((rt,), jnp.float32),
+            jnp.zeros((rt,), jnp.float32),
+            jnp.zeros((rt,), jnp.float32),
+        )
+        _, bt, bi, bu, bv, bb = jax.lax.while_loop(cond, body, init)
+
+        fout_ref[0, pl.ds(base, RAY_TILE)] = bt
+        fout_ref[1, pl.ds(base, RAY_TILE)] = bu
+        fout_ref[2, pl.ds(base, RAY_TILE)] = bv
+        fout_ref[3, pl.ds(base, RAY_TILE)] = bb
+        iout_ref[0, pl.ds(base, RAY_TILE)] = bi
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
@@ -158,35 +172,23 @@ def _launch(o_t, d_t, t_prev, nodes, nodes_i, tris, leaf_size,
             interpret=False):
     r = o_t.shape[1]
     n_nodes = nodes.shape[0]
-    kernel = functools.partial(_kernel, n_nodes=n_nodes, leaf_size=leaf_size)
-    grid = (r // RAY_TILE,)
+    n_tiles = r // RAY_TILE
+    kernel = functools.partial(_kernel, n_nodes=n_nodes, leaf_size=leaf_size,
+                               n_tiles=n_tiles)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     fout, iout = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, RAY_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, RAY_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_nodes, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_nodes, 2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tris.shape[0], 9), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((4, RAY_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[vm(), vm(), vm(), vm(), vm(), vm()],
+        out_specs=[vm(), vm()],
         out_shape=[
             jax.ShapeDtypeStruct((4, r), jnp.float32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # Node+tri tables alone are ~6 MB at 100k tris; raise the
+            # default VMEM budget so big scenes fit (v5e has headroom).
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(o_t, d_t, t_prev, nodes, nodes_i, tris)
     return fout, iout

@@ -1,0 +1,68 @@
+"""Frozen-golden regression tests over all 7 reference scenes.
+
+The reference pins 7 full renders by SHA-1 (ref: src/main.rs:100-166). SHA-1
+of float output is not portable across XLA versions/backends, so our goldens
+are stored as float radiance arrays (tests/goldens/*.npz, 32x24 @ 2spp,
+2 bounces) compared with a tolerance. Regenerate after INTENDED behavior
+changes with: python tests/test_golden.py regen
+"""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = Path(__file__).parent / "goldens"
+SCENES = [
+    "cube",
+    "reflection",
+    "spheres",
+    "head",
+    "alpha_transparency",
+    "white_furnace_direct",
+    "white_furnace_indirect",
+]
+W, H, SPP, BOUNCES = 32, 24, 2, 2
+
+
+def _render(scenes_root, name):
+    from path_tracer_tpu.models.integrator import IntegratorSpec
+    from path_tracer_tpu.models.renderer import render_pixel_sums
+    from path_tracer_tpu.scene import load_scene
+
+    scene = load_scene(scenes_root / name / "scene.isf")
+    spec = IntegratorSpec(bounces=BOUNCES, alpha_walk_steps=4,
+                          shadow_walk_steps=4)
+    acc = render_pixel_sums(scene, W, H, 1, SPP, spec,
+                            samples_per_launch=SPP)
+    return (acc / SPP).reshape(H, W, 3)
+
+
+@pytest.mark.parametrize("name", SCENES)
+def test_golden(reference_scenes, name):
+    path = GOLDEN_DIR / f"{name}.npz"
+    if not path.exists():
+        pytest.skip(f"golden for {name} not generated yet")
+    img = _render(reference_scenes, name)
+    want = np.load(path)["radiance"]
+    np.testing.assert_allclose(img, want, rtol=1e-3, atol=1e-4,
+                               err_msg=f"golden drift in {name}")
+
+
+def regen():
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    root = Path("/root/reference/tests/scenes")
+    for name in SCENES:
+        img = _render(root, name)
+        np.savez_compressed(GOLDEN_DIR / f"{name}.npz",
+                            radiance=img.astype(np.float32))
+        print(f"golden {name}: mean {img.mean():.4f}")
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        regen()
