@@ -1,0 +1,68 @@
+"""Scaling benchmark: rays/s efficiency across a device mesh.
+
+BASELINE.md's scaling gate is >=85% rays/s efficiency from 1 device to N.
+On real multi-chip hardware this script measures it directly; with a single
+chip it falls back to the virtual CPU mesh (correct sharding semantics,
+synthetic perf). Prints one JSON line per mesh size plus a summary.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+
+def main(n_devices_list=(1, 2, 4, 8), virtual_ok=True):
+    import jax
+
+    if len(jax.devices()) < max(n_devices_list):
+        if not virtual_ok:
+            raise SystemExit("not enough devices")
+        import jax.extend.backend as jeb
+
+        jeb.clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", max(n_devices_list))
+
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.models.integrator import IntegratorSpec
+    from path_tracer_tpu.parallel import default_mesh, render_sharded
+    from path_tracer_tpu.scene.procedural import sphere_grid_device_scene
+
+    scene = sphere_grid_device_scene()
+    spec = IntegratorSpec(bounces=3)
+    width, height = 256, 256
+    n_pix = width * height
+    ids = jnp.arange(n_pix, dtype=jnp.int32)
+    spp = 4
+
+    results = {}
+    for n in n_devices_list:
+        if len(jax.devices()) < n:
+            continue
+        mesh = default_mesh(n)
+        out = render_sharded(scene, mesh, ids, width, height, jnp.int32(1),
+                             spp, spec)
+        jax.block_until_ready(out)  # compile
+        t0 = time.perf_counter()
+        out = render_sharded(scene, mesh, ids, width, height, jnp.int32(1),
+                             spp, spec)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rays = n_pix * spp * (spec.bounces + 1)
+        results[n] = rays / dt
+        print(json.dumps({"metric": "rays_per_s_sharded", "devices": n,
+                          "value": round(rays / dt), "unit": "rays/s"}))
+
+    if 1 in results and len(results) > 1:
+        n_max = max(results)
+        eff = results[n_max] / (results[1] * n_max)
+        print(json.dumps({"metric": "scaling_efficiency",
+                          "devices": n_max,
+                          "value": round(eff, 3),
+                          "unit": "fraction",
+                          "target": 0.85}))
+
+
+if __name__ == "__main__":
+    main()

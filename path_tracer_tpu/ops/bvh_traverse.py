@@ -52,7 +52,7 @@ def closest_hit_triangles_bvh(o, d, t_prev, scene) -> HitRecord:
     [M,9] (v0,e1,e2 packed; M padded so leaf windows never run off the end).
     """
     r = o.shape[0]
-    n_nodes = scene.bvh_nodes.shape[0]
+    n_nodes = scene.bvh_n_nodes  # real count; arrays are padded past it
     leaf_size = scene.bvh_leaf_size
 
     inv_d = 1.0 / d  # inf on zero components — IEEE slab test handles it

@@ -37,11 +37,25 @@ from path_tracer_tpu.ops.intersect import (
 RAY_TILE = 256  # rays per packet (lane dimension)
 
 
-def _kernel(o_ref, d_ref, tp_ref, nodes_ref, nodes_i_ref, tris_ref, fout_ref,
-            iout_ref, *, n_nodes: int, leaf_size: int, n_tiles: int):
-    """Single program; loops over ray tiles so the node/tri tables are
-    VMEM-resident exactly once (a pipelined grid would double-buffer them
-    and overflow VMEM for ~100k-triangle scenes)."""
+def _kernel(o_ref, d_ref, tp_ref, nodes_t_ref, nodes_i_t_ref, tris_t_ref,
+            fout_ref, iout_ref, *, n_nodes: int, leaf_size: int,
+            n_tiles: int):
+    """Single program; loops over ray tiles so the (lane-major, transposed)
+    node/tri tables are VMEM-resident exactly once. Scalar node/tri values
+    are extracted from 128-aligned lane windows with masked reductions —
+    narrow [N,8] rows would pad to 128 lanes in VMEM (16x waste) and
+    unaligned dynamic lane slices are not reliably lowerable."""
+
+    def read_node(i):
+        aligned = pl.multiple_of((i >> 7) << 7, 128)
+        lane = i & 127
+        w = nodes_t_ref[:, pl.ds(aligned, 128)]  # [8,128]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        node = jnp.sum(jnp.where(lanes == lane, w, 0.0), axis=1)  # [8]
+        wi = nodes_i_t_ref[:, pl.ds(aligned, 128)]  # [2,128]
+        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+        meta = jnp.sum(jnp.where(lanes2 == lane, wi, 0), axis=1)  # [2]
+        return node, meta
 
     def tile_body(tile, _):
         base = tile * RAY_TILE
@@ -75,14 +89,15 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_ref, nodes_i_ref, tris_ref, fout_ref,
             tf = jnp.minimum(jnp.minimum(hix, hiy), hiz)
             return tn, tf
 
-        def mt_one(base_row, k, best, count):
-            """Test triangle row base_row+k against all lanes."""
+        def mt_one(tw, off, base_prim, k, best, count):
+            """Test triangle column off+k of window tw [9,256]."""
             bt, bi, bu, bv, bb = best
-            pid = base_row + k
-            row = tris_ref[pid, :]  # [9] scalar-indexed row
-            v0x, v0y, v0z = row[0], row[1], row[2]
-            e1x, e1y, e1z = row[3], row[4], row[5]
-            e2x, e2y, e2z = row[6], row[7], row[8]
+            col = off + k
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (9, 256), 1)
+            tri = jnp.sum(jnp.where(lanes == col, tw, 0.0), axis=1)  # [9]
+            v0x, v0y, v0z = tri[0], tri[1], tri[2]
+            e1x, e1y, e1z = tri[3], tri[4], tri[5]
+            e2x, e2y, e2z = tri[6], tri[7], tri[8]
 
             pvx = dy * e2z - dz * e2y
             pvy = dz * e2x - dx * e2z
@@ -108,7 +123,7 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_ref, nodes_i_ref, tris_ref, fout_ref,
 
             better = ok & (t < bt)
             bt = jnp.where(better, t, bt)
-            bi = jnp.where(better, pid, bi)
+            bi = jnp.where(better, base_prim + k, bi)
             bu = jnp.where(better, u, bu)
             bv = jnp.where(better, v, bv)
             # float mask — 1-D bool vectors in loop carries crash Mosaic
@@ -120,10 +135,9 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_ref, nodes_i_ref, tris_ref, fout_ref,
 
         def body(state):
             i, bt, bi, bu, bv, bb = state
-            node = nodes_ref[i, :]  # [8] scalar-indexed row
+            node, meta = read_node(i)
             tn, tf = slab(node[0], node[1], node[2], node[3], node[4],
                           node[5])
-            meta = nodes_i_ref[i, :]  # [2] int32 (scalar bitcast: no lower)
             skip = meta[0]
             leaf = meta[1]
             first = leaf >> 8
@@ -135,8 +149,11 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_ref, nodes_i_ref, tris_ref, fout_ref,
             is_leaf = count > 0
 
             def visit_leaf(best):
+                aligned = pl.multiple_of((first >> 7) << 7, 128)
+                off = first & 127
+                tw = tris_t_ref[:, pl.ds(aligned, 256)]  # [9,256]
                 for k in range(leaf_size):
-                    best = mt_one(first, k, best, count)
+                    best = mt_one(tw, off, first, k, best, count)
                 return best
 
             best = (bt, bi, bu, bv, bb)
@@ -167,11 +184,11 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_ref, nodes_i_ref, tris_ref, fout_ref,
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
-def _launch(o_t, d_t, t_prev, nodes, nodes_i, tris, leaf_size,
+@functools.partial(jax.jit, static_argnames=("n_nodes", "leaf_size",
+                                             "interpret"))
+def _launch(o_t, d_t, t_prev, nodes_t, nodes_i_t, tris_t, n_nodes, leaf_size,
             interpret=False):
     r = o_t.shape[1]
-    n_nodes = nodes.shape[0]
     n_tiles = r // RAY_TILE
     kernel = functools.partial(_kernel, n_nodes=n_nodes, leaf_size=leaf_size,
                                n_tiles=n_tiles)
@@ -185,12 +202,10 @@ def _launch(o_t, d_t, t_prev, nodes, nodes_i, tris, leaf_size,
             jax.ShapeDtypeStruct((1, r), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            # Node+tri tables alone are ~6 MB at 100k tris; raise the
-            # default VMEM budget so big scenes fit (v5e has headroom).
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(o_t, d_t, t_prev, nodes, nodes_i, tris)
+    )(o_t, d_t, t_prev, nodes_t, nodes_i_t, tris_t)
     return fout, iout
 
 
@@ -210,8 +225,9 @@ def closest_hit_triangles_packet(o, d, t_prev, scene,
     d_t = pad(d, 1.0).T
     tp = pad(t_prev)[None, :]
 
-    fout, iout = _launch(o_t, d_t, tp, scene.bvh_nodes, scene.bvh_nodes_i,
-                         scene.bvh_tris, scene.bvh_leaf_size,
+    fout, iout = _launch(o_t, d_t, tp, scene.bvh_nodes_t,
+                         scene.bvh_nodes_i_t, scene.bvh_tris_t,
+                         scene.bvh_n_nodes, scene.bvh_leaf_size,
                          interpret=interpret)
     bt = fout[0, :r]
     kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)

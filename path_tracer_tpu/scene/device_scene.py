@@ -112,6 +112,12 @@ class DeviceScene:
     # Component-major triangle table [9, n_pad] = rows (v0,e1,e2) xyz for the
     # Pallas brute-force kernel (rays ride lanes, triangles stream chunks).
     tri_packed_t: jax.Array  # [9, n_pad] f32
+    # Lane-major (transposed) BVH tables for the packet kernel: VMEM pads
+    # the LAST dim to 128 lanes, so [N,8] rows waste 16x — [8,N]/[2,N]/[9,M]
+    # keep the long axis on lanes and fit ~100k-tri scenes in VMEM.
+    bvh_nodes_t: jax.Array  # [8, N] f32 (bounds mn.xyz, mx.xyz, then 2 pad)
+    bvh_nodes_i_t: jax.Array  # [2, N] i32 (skip, first*256|count)
+    bvh_tris_t: jax.Array  # [9, M] f32 (same rows as bvh_tris, transposed)
 
     # --- static (non-traced) scene facts; part of the jit key -------------
     # True when every material is fully opaque (opacity factor >= 1, no
@@ -140,6 +146,9 @@ class DeviceScene:
     # integrator should use BVH traversal instead of the brute-force block
     # scan (small scenes are faster brute-force on TPU).
     bvh_leaf_size: int = dataclasses.field(metadata=dict(static=True), default=4)
+    # Real (unpadded) node count — the traversal termination sentinel (node
+    # arrays are padded to a multiple of 128 for aligned window reads).
+    bvh_n_nodes: int = dataclasses.field(metadata=dict(static=True), default=1)
     use_bvh: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
@@ -317,12 +326,21 @@ def build_device_scene(scene: isf.Scene, root,
             np.zeros(1, np.int32), np.zeros(1, np.int32),
             np.ones(1, np.int32),
         )
-    # Packed (v0,e1,e2) rows padded by leaf_size degenerate rows so leaf
-    # windows never index out of bounds.
-    bvh_tris = np.zeros((n_pad + leaf_size, 9), np.float32)
+    # Packed (v0,e1,e2) rows. Padding: the packet kernel reads 128-aligned
+    # 256-wide lane windows around a leaf's first prim, so pad to a multiple
+    # of 128 plus a 256 margin (degenerate rows: det == 0 rejects).
+    m_pad = ((n_pad + 127) // 128) * 128 + 256
+    bvh_tris = np.zeros((m_pad, 9), np.float32)
     bvh_tris[:n_pad, 0:3] = v0
     bvh_tris[:n_pad, 3:6] = e1
     bvh_tris[:n_pad, 6:9] = e2
+    # Node tables padded to a multiple of 128 for the same aligned windows
+    # (pad rows are never selected: traversal guards i < n_nodes).
+    nn = bvh_nodes.shape[0]
+    nn_pad = ((nn + 127) // 128) * 128
+    if nn_pad != nn:
+        pad_rows = np.zeros((nn_pad - nn, 8), np.float32)
+        bvh_nodes = np.concatenate([bvh_nodes, pad_rows], axis=0)
 
     # Spheres padded to >= 1 with a guaranteed-miss entry (center at 1e30 so
     # the quadratic discriminant is hugely negative for any practical ray).
@@ -403,10 +421,17 @@ def build_device_scene(scene: isf.Scene, root,
         tri_packed_t=jnp.asarray(
             np.ascontiguousarray(bvh_tris[:n_pad].T)
         ),
+        bvh_nodes_t=jnp.asarray(np.ascontiguousarray(bvh_nodes.T)),
+        bvh_nodes_i_t=jnp.asarray(np.ascontiguousarray(
+            np.stack([bvh_nodes[:, 6].view(np.int32),
+                      bvh_nodes[:, 7].view(np.int32)], axis=0)
+        )),
+        bvh_tris_t=jnp.asarray(np.ascontiguousarray(bvh_tris.T)),
         no_textures=len(atlas.offsets) == 1,
         num_real_triangles=n_tris,
         num_real_spheres=len(sph_radius),
         bvh_leaf_size=leaf_size,
+        bvh_n_nodes=nn,
         # Measured on TPU v5e (head mesh, 64k rays): the fused brute-force
         # Pallas kernel beats both per-lane BVH traversal (gather-bound) and
         # packet traversal (scalar-step-bound) up to at least ~30k tris.
