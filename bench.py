@@ -41,7 +41,15 @@ def main() -> None:
     from path_tracer_tpu.models.renderer import render_pixel_sums
     from path_tracer_tpu.scene import load_scene
 
-    if REFERENCE_SPHERES.exists():
+    import os
+
+    which = os.environ.get("BENCH_SCENE", "spheres")
+    if which == "showcase":
+        # PS5-class procedural scene (~100k tris + spheres), packet BVH.
+        from path_tracer_tpu.scene.showcase import showcase_device_scene
+
+        scene = showcase_device_scene(use_bvh=True)
+    elif REFERENCE_SPHERES.exists():
         scene = load_scene(REFERENCE_SPHERES)
     else:
         from path_tracer_tpu.scene.procedural import sphere_grid_device_scene
