@@ -1,21 +1,25 @@
-"""Pallas TPU kernel: packet BVH traversal (tile-synchronous).
+"""Pallas TPU kernel: superleaf packet BVH traversal.
 
-Per-lane skip-pointer traversal (ops/bvh_traverse.py) is gather-bound on TPU:
-every step issues [R]-wide HBM gathers and the while_loop runs for the
-worst lane. This kernel uses the classic SIMD alternative — **packet
-traversal**: each grid step owns a tile of RAY_TILE rays sharing ONE scalar
-node cursor. A subtree is entered when ANY lane's slab test passes, so node
-data is read with scalar dynamic slices from a VMEM-resident node table (no
-gathers at all), and every test is a dense [RT]-lane VPU op. Leaf triangles
-are tested one-at-a-time with their 9 components broadcast as scalars.
+Per-lane skip-pointer traversal (ops/bvh_traverse.py) is gather-bound on
+TPU, and fine-grained packet traversal (shared node cursor, 4-tri leaves) is
+serial-step-bound: a v5e has ONE TensorCore, so every node visit of every
+tile executes sequentially. The design that fits the hardware is a hybrid:
 
-Coherent wavefronts (camera rays, shadow rays to a common light) visit close
-to the per-ray optimal node count; incoherent bounce wavefronts degrade
-toward the union of lanes' paths — the renderer sorts bounce wavefronts to
-keep tiles coherent.
+- a SHALLOW BVH whose leaves are 512-triangle "superleaf" blocks (the tree
+  has ~2*n_tris/512 nodes, so the shared-cursor packet walk is cheap), and
+- DENSE vectorized Moller-Trumbore over a whole [RAY_TILE, 512] block for
+  every surviving leaf — the same dense VPU tiles that make the brute-force
+  kernel fast, but only on blocks whose bounds the tile actually overlaps.
+
+Ray wavefronts are Morton-sorted by the dispatcher (ops/sorting.py) so tiles
+stay coherent and prune most blocks. Leaf windows are 512-aligned by
+construction (device scene packs each block at block_id*512, padded with
+degenerate triangles whose det==0 rejects).
 
 Semantics identical to ops.intersect.closest_hit_triangles (MT cutoffs,
-t > max(1e-6, t_prev), backface = det < 0; ref triangle.rs:38-81).
+t > max(1e-6, t_prev), backface = det < 0; ref triangle.rs:38-81). The
+kernel reports PACKED prim indices; the wrapper maps them to global ids via
+scene.sl_map.
 """
 from __future__ import annotations
 
@@ -37,22 +41,21 @@ from path_tracer_tpu.ops.intersect import (
 RAY_TILE = 256  # rays per packet (lane dimension)
 
 
-def _kernel(o_ref, d_ref, tp_ref, nodes_t_ref, nodes_i_t_ref, tris_t_ref,
-            fout_ref, iout_ref, *, n_nodes: int, leaf_size: int,
-            n_tiles: int):
-    """Single program; loops over ray tiles so the (lane-major, transposed)
-    node/tri tables are VMEM-resident exactly once. Scalar node/tri values
-    are extracted from 128-aligned lane windows with masked reductions —
-    narrow [N,8] rows would pad to 128 lanes in VMEM (16x waste) and
+def _kernel(o_ref, d_ref, tp_ref, nodes_ref, meta_ref, tris_ref,
+            fout_ref, iout_ref, *, n_nodes: int, block: int, n_tiles: int):
+    """Single gridless program; loops over ray tiles so the node/tri tables
+    stay VMEM-resident exactly once (a pipelined grid would double-buffer
+    them). Node scalars come from 128-aligned lane windows via masked
+    reductions — narrow [N,8] rows would pad to 128 lanes in VMEM (16x) and
     unaligned dynamic lane slices are not reliably lowerable."""
 
     def read_node(i):
         aligned = pl.multiple_of((i >> 7) << 7, 128)
         lane = i & 127
-        w = nodes_t_ref[:, pl.ds(aligned, 128)]  # [8,128]
+        w = nodes_ref[:, pl.ds(aligned, 128)]  # [8,128]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         node = jnp.sum(jnp.where(lanes == lane, w, 0.0), axis=1)  # [8]
-        wi = nodes_i_t_ref[:, pl.ds(aligned, 128)]  # [2,128]
+        wi = meta_ref[:, pl.ds(aligned, 128)]  # [2,128]
         lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
         meta = jnp.sum(jnp.where(lanes2 == lane, wi, 0), axis=1)  # [2]
         return node, meta
@@ -79,55 +82,64 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_t_ref, nodes_i_t_ref, tris_t_ref,
             t1y = (mx1 - oy) * inv_dy
             t0z = (mn2 - oz) * inv_dz
             t1z = (mx2 - oz) * inv_dz
-            lox = jnp.minimum(t0x, t1x)
-            hix = jnp.maximum(t0x, t1x)
-            loy = jnp.minimum(t0y, t1y)
-            hiy = jnp.maximum(t0y, t1y)
-            loz = jnp.minimum(t0z, t1z)
-            hiz = jnp.maximum(t0z, t1z)
-            tn = jnp.maximum(jnp.maximum(lox, loy), loz)
-            tf = jnp.minimum(jnp.minimum(hix, hiy), hiz)
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z))
             return tn, tf
 
-        def mt_one(tw, off, base_prim, k, best, count):
-            """Test triangle column off+k of window tw [9,256]."""
+        def visit_block(block_id, best):
+            """Dense [RT, block] MT over one superleaf block."""
             bt, bi, bu, bv, bb = best
-            col = off + k
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (9, 256), 1)
-            tri = jnp.sum(jnp.where(lanes == col, tw, 0.0), axis=1)  # [9]
-            v0x, v0y, v0z = tri[0], tri[1], tri[2]
-            e1x, e1y, e1z = tri[3], tri[4], tri[5]
-            e2x, e2y, e2z = tri[6], tri[7], tri[8]
+            start = pl.multiple_of(block_id * block, 128)
+            tri = tris_ref[:, pl.ds(start, block)]  # [9, B]
 
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            ok = (jnp.abs(det) >= DET_EPS) & (k < count)
-            invdet = 1.0 / jnp.where(jnp.abs(det) >= DET_EPS, det, 1.0)
+            def rc(a):  # ray column [RT,1]
+                return a[:, None]
 
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
+            def tr(c):  # triangle row [1,B]
+                return tri[c, :][None, :]
+
+            pvx = rc(dy) * tr(8) - rc(dz) * tr(7)
+            pvy = rc(dz) * tr(6) - rc(dx) * tr(8)
+            pvz = rc(dx) * tr(7) - rc(dy) * tr(6)
+            det = tr(3) * pvx + tr(4) * pvy + tr(5) * pvz
+            ok = jnp.abs(det) >= DET_EPS
+            invdet = 1.0 / jnp.where(ok, det, 1.0)
+
+            tvx = rc(ox) - tr(0)
+            tvy = rc(oy) - tr(1)
+            tvz = rc(oz) - tr(2)
             u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
             ok &= (u >= 0.0) & (u <= 1.0)
 
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * invdet
+            qvx = tvy * tr(5) - tvz * tr(4)
+            qvy = tvz * tr(3) - tvx * tr(5)
+            qvz = tvx * tr(4) - tvy * tr(3)
+            v = (rc(dx) * qvx + rc(dy) * qvy + rc(dz) * qvz) * invdet
             ok &= (v >= 0.0) & (u + v <= 1.0)
 
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * invdet
-            ok &= (t >= T_MIN) & (t > t_prev)
+            t = (tr(6) * qvx + tr(7) * qvy + tr(8) * qvz) * invdet
+            ok &= (t >= T_MIN) & (t > rc(t_prev))
 
-            better = ok & (t < bt)
-            bt = jnp.where(better, t, bt)
-            bi = jnp.where(better, base_prim + k, bi)
-            bu = jnp.where(better, u, bu)
-            bv = jnp.where(better, v, bv)
+            t = jnp.where(ok, t, jnp.inf)
+            tmin = jnp.min(t, axis=1)  # [RT]
+            col = jnp.argmin(t, axis=1).astype(jnp.int32)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (rt, block), 1)
+            sel = lanes == col[:, None]
+
+            def pick(arr2d):
+                return jnp.sum(jnp.where(sel, arr2d, 0.0), axis=1)
+
+            better = tmin < bt
+            bt = jnp.where(better, tmin, bt)
+            bi = jnp.where(better, start + col, bi)
+            bu = jnp.where(better, pick(u), bu)
+            bv = jnp.where(better, pick(v), bv)
             # float mask — 1-D bool vectors in loop carries crash Mosaic
-            bb = jnp.where(better, jnp.where(det < 0.0, 1.0, 0.0), bb)
+            bb = jnp.where(better, jnp.where(pick(det) < 0.0, 1.0, 0.0), bb)
             return bt, bi, bu, bv, bb
 
         def cond(state):
@@ -139,26 +151,17 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_t_ref, nodes_i_t_ref, tris_t_ref,
             tn, tf = slab(node[0], node[1], node[2], node[3], node[4],
                           node[5])
             skip = meta[0]
-            leaf = meta[1]
-            first = leaf >> 8
-            count = leaf & 0xFF
+            leafv = meta[1]  # 0 = internal, else block_id + 1
 
             lane_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= bt) \
                 & (tf > t_prev)
             hit_any = jnp.any(lane_hit)
-            is_leaf = count > 0
-
-            def visit_leaf(best):
-                aligned = pl.multiple_of((first >> 7) << 7, 128)
-                off = first & 127
-                tw = tris_t_ref[:, pl.ds(aligned, 256)]  # [9,256]
-                for k in range(leaf_size):
-                    best = mt_one(tw, off, first, k, best, count)
-                return best
+            is_leaf = leafv > 0
 
             best = (bt, bi, bu, bv, bb)
-            best = jax.lax.cond(hit_any & is_leaf, visit_leaf, lambda b: b,
-                                best)
+            best = jax.lax.cond(hit_any & is_leaf,
+                                lambda b: visit_block(leafv - 1, b),
+                                lambda b: b, best)
             bt, bi, bu, bv, bb = best
 
             nxt = jnp.where(hit_any & ~is_leaf, i + 1, skip)
@@ -184,13 +187,12 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_t_ref, nodes_i_t_ref, tris_t_ref,
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "leaf_size",
-                                             "interpret"))
-def _launch(o_t, d_t, t_prev, nodes_t, nodes_i_t, tris_t, n_nodes, leaf_size,
+@functools.partial(jax.jit, static_argnames=("n_nodes", "block", "interpret"))
+def _launch(o_t, d_t, t_prev, nodes_t, meta_t, tris_t, n_nodes, block,
             interpret=False):
     r = o_t.shape[1]
     n_tiles = r // RAY_TILE
-    kernel = functools.partial(_kernel, n_nodes=n_nodes, leaf_size=leaf_size,
+    kernel = functools.partial(_kernel, n_nodes=n_nodes, block=block,
                                n_tiles=n_tiles)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     fout, iout = pl.pallas_call(
@@ -202,16 +204,17 @@ def _launch(o_t, d_t, t_prev, nodes_t, nodes_i_t, tris_t, n_nodes, leaf_size,
             jax.ShapeDtypeStruct((1, r), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
+            # Superleaf tables are ~7 MB for 100k tris; v5e has headroom.
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(o_t, d_t, t_prev, nodes_t, nodes_i_t, tris_t)
+    )(o_t, d_t, t_prev, nodes_t, meta_t, tris_t)
     return fout, iout
 
 
 def closest_hit_triangles_packet(o, d, t_prev, scene,
                                  interpret=False) -> HitRecord:
-    """Packet-BVH closest hit for a wavefront (pads rays to RAY_TILE)."""
+    """Superleaf packet-BVH closest hit (pads rays to RAY_TILE)."""
     r = o.shape[0]
     r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
 
@@ -225,16 +228,17 @@ def closest_hit_triangles_packet(o, d, t_prev, scene,
     d_t = pad(d, 1.0).T
     tp = pad(t_prev)[None, :]
 
-    fout, iout = _launch(o_t, d_t, tp, scene.bvh_nodes_t,
-                         scene.bvh_nodes_i_t, scene.bvh_tris_t,
-                         scene.bvh_n_nodes, scene.bvh_leaf_size,
+    fout, iout = _launch(o_t, d_t, tp, scene.sl_nodes_t, scene.sl_meta_t,
+                         scene.sl_tris_t, scene.sl_n_nodes, scene.sl_block,
                          interpret=interpret)
     bt = fout[0, :r]
     kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
+    packed = iout[0, :r]
+    prim = scene.sl_map[jnp.maximum(packed, 0)]
     return HitRecord(
         t=bt,
         kind=kind,
-        prim=iout[0, :r],
+        prim=jnp.where(packed >= 0, prim, -1),
         u=fout[1, :r],
         v=fout[2, :r],
         backface=fout[3, :r] != 0.0,

@@ -112,12 +112,17 @@ class DeviceScene:
     # Component-major triangle table [9, n_pad] = rows (v0,e1,e2) xyz for the
     # Pallas brute-force kernel (rays ride lanes, triangles stream chunks).
     tri_packed_t: jax.Array  # [9, n_pad] f32
-    # Lane-major (transposed) BVH tables for the packet kernel: VMEM pads
-    # the LAST dim to 128 lanes, so [N,8] rows waste 16x — [8,N]/[2,N]/[9,M]
-    # keep the long axis on lanes and fit ~100k-tri scenes in VMEM.
-    bvh_nodes_t: jax.Array  # [8, N] f32 (bounds mn.xyz, mx.xyz, then 2 pad)
-    bvh_nodes_i_t: jax.Array  # [2, N] i32 (skip, first*256|count)
-    bvh_tris_t: jax.Array  # [9, M] f32 (same rows as bvh_tris, transposed)
+    # --- Superleaf BVH for the Pallas packet kernel (lane-major tables) ---
+    # A SECOND, shallow BVH whose leaves are 512-triangle "superleaf" blocks:
+    # the packet loop prunes blocks with a tiny node tree (shared scalar
+    # cursor per ray tile), then tests surviving blocks with DENSE [RT,512]
+    # vectorized MT — serial per-node stepping cannot amortize on a
+    # single-core TPU, dense VPU tiles can. Tables are transposed ([8,N] etc)
+    # because VMEM pads the last dim to 128 lanes (16x waste on [N,8] rows).
+    sl_nodes_t: jax.Array  # [8, Nsl] f32 bounds (mn.xyz, mx.xyz, 2 pad)
+    sl_meta_t: jax.Array  # [2, Nsl] i32 (skip, block_id+1; 0 = internal)
+    sl_tris_t: jax.Array  # [9, n_blocks*512] f32, block-aligned windows
+    sl_map: jax.Array  # [n_blocks*512] i32 packed->global prim id (pad: 0)
 
     # --- static (non-traced) scene facts; part of the jit key -------------
     # True when every material is fully opaque (opacity factor >= 1, no
@@ -149,6 +154,9 @@ class DeviceScene:
     # Real (unpadded) node count — the traversal termination sentinel (node
     # arrays are padded to a multiple of 128 for aligned window reads).
     bvh_n_nodes: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # Superleaf-BVH statics: real node count and the block size.
+    sl_n_nodes: int = dataclasses.field(metadata=dict(static=True), default=1)
+    sl_block: int = dataclasses.field(metadata=dict(static=True), default=512)
     use_bvh: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
@@ -342,6 +350,51 @@ def build_device_scene(scene: isf.Scene, root,
         pad_rows = np.zeros((nn_pad - nn, 8), np.float32)
         bvh_nodes = np.concatenate([bvh_nodes, pad_rows], axis=0)
 
+    # --- Superleaf BVH (shallow tree over 512-tri blocks) for the Pallas
+    # packet kernel; built over the leaf4-PERMUTED arrays so block prim ids
+    # are directly the global (permuted) triangle ids.
+    SL_BLOCK = 512
+    if n_tris:
+        from path_tracer_tpu.native import build_bvh as _build_bvh
+
+        q0 = v0[:n_tris]
+        q1 = q0 + e1[:n_tris]
+        q2 = q0 + e2[:n_tris]
+        sl = _build_bvh(np.minimum(np.minimum(q0, q1), q2),
+                        np.maximum(np.maximum(q0, q1), q2),
+                        leaf_size=SL_BLOCK)
+        leaf_nodes = np.nonzero(sl.prim_count > 0)[0]
+        n_blocks = len(leaf_nodes)
+        sl_tris = np.zeros((n_blocks * SL_BLOCK, 9), np.float32)
+        sl_map = np.zeros(n_blocks * SL_BLOCK, np.int32)
+        meta_leaf = np.zeros(sl.skip.shape[0], np.int32)
+        for b, ni in enumerate(leaf_nodes):
+            f, c = int(sl.first_prim[ni]), int(sl.prim_count[ni])
+            ids = sl.prim_order[f : f + c]
+            base = b * SL_BLOCK
+            sl_tris[base : base + c, 0:3] = v0[ids]
+            sl_tris[base : base + c, 3:6] = e1[ids]
+            sl_tris[base : base + c, 6:9] = e2[ids]
+            sl_map[base : base + c] = ids
+            meta_leaf[ni] = b + 1
+        nsl = sl.skip.shape[0]
+        nsl_pad = ((nsl + 127) // 128) * 128
+        sl_nodes_t = np.zeros((8, nsl_pad), np.float32)
+        sl_nodes_t[0:3, :nsl] = sl.node_min.T
+        sl_nodes_t[3:6, :nsl] = sl.node_max.T
+        sl_meta_t = np.zeros((2, nsl_pad), np.int32)
+        sl_meta_t[0, :nsl] = sl.skip
+        sl_meta_t[1, :nsl] = meta_leaf
+    else:
+        nsl = 1
+        sl_nodes_t = np.zeros((8, 128), np.float32)
+        sl_nodes_t[0:3, 0] = np.inf
+        sl_nodes_t[3:6, 0] = -np.inf
+        sl_meta_t = np.zeros((2, 128), np.int32)
+        sl_meta_t[0, 0] = 1
+        sl_tris = np.zeros((SL_BLOCK, 9), np.float32)
+        sl_map = np.zeros(SL_BLOCK, np.int32)
+
     # Spheres padded to >= 1 with a guaranteed-miss entry (center at 1e30 so
     # the quadratic discriminant is hugely negative for any practical ray).
     n_sph = max(1, len(sph_radius))
@@ -421,20 +474,21 @@ def build_device_scene(scene: isf.Scene, root,
         tri_packed_t=jnp.asarray(
             np.ascontiguousarray(bvh_tris[:n_pad].T)
         ),
-        bvh_nodes_t=jnp.asarray(np.ascontiguousarray(bvh_nodes.T)),
-        bvh_nodes_i_t=jnp.asarray(np.ascontiguousarray(
-            np.stack([bvh_nodes[:, 6].view(np.int32),
-                      bvh_nodes[:, 7].view(np.int32)], axis=0)
-        )),
-        bvh_tris_t=jnp.asarray(np.ascontiguousarray(bvh_tris.T)),
+        sl_nodes_t=jnp.asarray(sl_nodes_t),
+        sl_meta_t=jnp.asarray(sl_meta_t),
+        sl_tris_t=jnp.asarray(np.ascontiguousarray(sl_tris.T)),
+        sl_map=jnp.asarray(sl_map),
         no_textures=len(atlas.offsets) == 1,
         num_real_triangles=n_tris,
         num_real_spheres=len(sph_radius),
         bvh_leaf_size=leaf_size,
         bvh_n_nodes=nn,
-        # Measured on TPU v5e (head mesh, 64k rays): the fused brute-force
-        # Pallas kernel beats both per-lane BVH traversal (gather-bound) and
-        # packet traversal (scalar-step-bound) up to at least ~30k tris.
-        # BVH traversal is opt-in until packet + ray-sorting wins somewhere.
-        use_bvh=use_bvh if use_bvh is not None else False,
+        sl_n_nodes=nsl,
+        sl_block=SL_BLOCK,
+        # Measured on TPU v5e (64k rays): the fused brute-force kernel wins
+        # small scenes; the superleaf packet kernel wins large ones (100k-tri
+        # showcase: 31x on Morton-sorted camera rays, never worse on
+        # incoherent). Auto threshold between the head mesh (2.5k) and
+        # showcase scale.
+        use_bvh=use_bvh if use_bvh is not None else n_tris >= 4096,
     )
