@@ -203,7 +203,27 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
     hit = jnp.zeros((r,), jnp.bool_)
 
     if scene.num_real_triangles != 0:
-        if _on_tpu() or getattr(scene, "use_bvh", False):
+        if _on_tpu() and getattr(scene, "use_bvh", False):
+            # Any-hit superleaf walk with per-lane early exit. The range
+            # limit converts to an exact t_max: |o + t d - surf| = max_dist
+            # solved for the positive root (same dist formula as in_range).
+            from path_tracer_tpu.ops.pallas_bvh import occluded_triangles_packet
+            from path_tracer_tpu.ops.sorting import ray_sort_keys, sort_permutation
+
+            if max_dist is not None:
+                disc = b_dot_d[:, 0] ** 2 - d_sq[:, 0] * (
+                    b_sq[:, 0] - limit_sq[:, 0])
+                t_max = (-b_dot_d[:, 0]
+                         + jnp.sqrt(jnp.maximum(disc, 0.0))) / d_sq[:, 0]
+            else:
+                t_max = jnp.full((r,), jnp.inf, jnp.float32)
+            root = scene.bvh_nodes[0]
+            keys = ray_sort_keys(o, d, root[0:3], root[3:6])
+            perm, inv = sort_permutation(keys)
+            occ = occluded_triangles_packet(o[perm], d[perm], t_max[perm],
+                                            scene)
+            hit = hit | occ[inv]
+        elif _on_tpu() or getattr(scene, "use_bvh", False):
             # Nearest-hit check suffices: dist(t) is monotone in t, so if the
             # nearest hit is out of range no hit is in range.
             t_prev = jnp.full((r,), -1.0, jnp.float32)

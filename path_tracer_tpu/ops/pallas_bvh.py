@@ -243,3 +243,163 @@ def closest_hit_triangles_packet(o, d, t_prev, scene,
         v=fout[2, :r],
         backface=fout[3, :r] != 0.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Any-hit occlusion variant: shadow casts only need "is there a hit with
+# t <= t_max", so lanes mask out once occluded and the tile exits as soon as
+# every lane is occluded or the walk ends (ref shadow semantics live in
+# ops.intersect.occluded; this kernel is its TPU fast path).
+# ---------------------------------------------------------------------------
+
+
+def _occ_kernel(o_ref, d_ref, tmax_ref, nodes_ref, meta_ref, tris_ref,
+                out_ref, *, n_nodes: int, block: int, n_tiles: int):
+    def read_node(i):
+        aligned = pl.multiple_of((i >> 7) << 7, 128)
+        lane = i & 127
+        w = nodes_ref[:, pl.ds(aligned, 128)]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        node = jnp.sum(jnp.where(lanes == lane, w, 0.0), axis=1)
+        wi = meta_ref[:, pl.ds(aligned, 128)]
+        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+        meta = jnp.sum(jnp.where(lanes2 == lane, wi, 0), axis=1)
+        return node, meta
+
+    def tile_body(tile, _):
+        base = tile * RAY_TILE
+        ox = o_ref[0, pl.ds(base, RAY_TILE)]
+        oy = o_ref[1, pl.ds(base, RAY_TILE)]
+        oz = o_ref[2, pl.ds(base, RAY_TILE)]
+        dx = d_ref[0, pl.ds(base, RAY_TILE)]
+        dy = d_ref[1, pl.ds(base, RAY_TILE)]
+        dz = d_ref[2, pl.ds(base, RAY_TILE)]
+        t_max = tmax_ref[0, pl.ds(base, RAY_TILE)]
+
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
+
+        def slab(mn0, mn1, mn2, mx0, mx1, mx2):
+            t0x = (mn0 - ox) * inv_dx
+            t1x = (mx0 - ox) * inv_dx
+            t0y = (mn1 - oy) * inv_dy
+            t1y = (mx1 - oy) * inv_dy
+            t0z = (mn2 - oz) * inv_dz
+            t1z = (mx2 - oz) * inv_dz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z))
+            return tn, tf
+
+        def visit_block(block_id, occ):
+            start = pl.multiple_of(block_id * block, 128)
+            tri = tris_ref[:, pl.ds(start, block)]
+
+            def rc(a):
+                return a[:, None]
+
+            def tr(c):
+                return tri[c, :][None, :]
+
+            pvx = rc(dy) * tr(8) - rc(dz) * tr(7)
+            pvy = rc(dz) * tr(6) - rc(dx) * tr(8)
+            pvz = rc(dx) * tr(7) - rc(dy) * tr(6)
+            det = tr(3) * pvx + tr(4) * pvy + tr(5) * pvz
+            ok = jnp.abs(det) >= DET_EPS
+            invdet = 1.0 / jnp.where(ok, det, 1.0)
+
+            tvx = rc(ox) - tr(0)
+            tvy = rc(oy) - tr(1)
+            tvz = rc(oz) - tr(2)
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
+            ok &= (u >= 0.0) & (u <= 1.0)
+
+            qvx = tvy * tr(5) - tvz * tr(4)
+            qvy = tvz * tr(3) - tvx * tr(5)
+            qvz = tvx * tr(4) - tvy * tr(3)
+            v = (rc(dx) * qvx + rc(dy) * qvy + rc(dz) * qvz) * invdet
+            ok &= (v >= 0.0) & (u + v <= 1.0)
+
+            t = (tr(6) * qvx + tr(7) * qvy + tr(8) * qvz) * invdet
+            ok &= (t >= T_MIN) & (t <= rc(t_max))
+
+            hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1)  # [RT]
+            return jnp.maximum(occ, hit)
+
+        def cond(state):
+            i, occ = state
+            return (i < n_nodes) & jnp.any(occ < 1.0)
+
+        def body(state):
+            i, occ = state
+            node, meta = read_node(i)
+            tn, tf = slab(node[0], node[1], node[2], node[3], node[4],
+                          node[5])
+            skip = meta[0]
+            leafv = meta[1]
+
+            live = occ < 1.0
+            lane_hit = live & (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_max)
+            hit_any = jnp.any(lane_hit)
+            is_leaf = leafv > 0
+
+            occ = jax.lax.cond(hit_any & is_leaf,
+                               lambda o_: visit_block(leafv - 1, o_),
+                               lambda o_: o_, occ)
+
+            nxt = jnp.where(hit_any & ~is_leaf, i + 1, skip)
+            return (nxt, occ)
+
+        init = (jnp.int32(0), jnp.zeros((RAY_TILE,), jnp.float32))
+        _, occ = jax.lax.while_loop(cond, body, init)
+        out_ref[0, pl.ds(base, RAY_TILE)] = occ
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "block", "interpret"))
+def _occ_launch(o_t, d_t, t_max, nodes_t, meta_t, tris_t, n_nodes, block,
+                interpret=False):
+    r = o_t.shape[1]
+    n_tiles = r // RAY_TILE
+    kernel = functools.partial(_occ_kernel, n_nodes=n_nodes, block=block,
+                               n_tiles=n_tiles)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    (out,) = pl.pallas_call(
+        kernel,
+        in_specs=[vm(), vm(), vm(), vm(), vm(), vm()],
+        out_specs=[vm()],
+        out_shape=[jax.ShapeDtypeStruct((1, r), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o_t, d_t, t_max, nodes_t, meta_t, tris_t)
+    return out
+
+
+def occluded_triangles_packet(o, d, t_max, scene, interpret=False):
+    """[R] bool: any triangle hit with T_MIN <= t <= t_max (any-hit walk
+    with per-lane early exit)."""
+    r = o.shape[0]
+    r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+
+    def pad(x, fill=0.0):
+        if r_pad == r:
+            return x
+        cfg = [(0, r_pad - r)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    o_t = pad(o).T
+    d_t = pad(d, 1.0).T
+    tm = pad(t_max, -1.0)[None, :]  # padded lanes occlude nothing
+
+    out = _occ_launch(o_t, d_t, tm, scene.sl_nodes_t, scene.sl_meta_t,
+                      scene.sl_tris_t, scene.sl_n_nodes, scene.sl_block,
+                      interpret=interpret)
+    return out[0, :r] > 0.0

@@ -64,3 +64,27 @@ def test_pallas_matches_brute_head(reference_scenes):
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     hit_rate = _parity(scene, o, d, jnp.full((r,), -1.0, jnp.float32))
     assert hit_rate > 0.5
+
+
+def test_occlusion_kernel_matches_closest_hit():
+    """Any-hit occlusion kernel == (closest hit valid & t <= t_max)."""
+    from path_tracer_tpu.ops.intersect import closest_hit_triangles
+    from path_tracer_tpu.ops.pallas_bvh import occluded_triangles_packet
+    from path_tracer_tpu.scene.procedural import cornell_device_scene
+
+    scene = cornell_device_scene()
+    rng = np.random.default_rng(6)
+    r = 300
+    o = jnp.asarray(rng.uniform(-1.4, 1.4, (r, 3)).astype(np.float32)
+                    + np.array([0, 1.5, 0], np.float32))
+    tgt = jnp.asarray(rng.uniform(-1.5, 1.5, (r, 3)).astype(np.float32))
+    d = tgt - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    for tmaxv in (np.inf, 2.0, 0.5):
+        tm = jnp.full((r,), tmaxv, jnp.float32)
+        ch = closest_hit_triangles(o, d, jnp.full((r,), -1.0), scene,
+                                   block=256)
+        want = np.asarray(ch.valid & (ch.t <= tm))
+        got = np.asarray(occluded_triangles_packet(o, d, tm, scene,
+                                                   interpret=True))
+        np.testing.assert_array_equal(want, got)
