@@ -21,15 +21,20 @@ from path_tracer_tpu.parallel.mesh import DP_AXIS
 
 # Continuous leaves of DeviceScene that gradients flow into. Discrete events
 # (hit selection, alpha accepts, RR kills, sampled directions) are detached
-# inside the integrator.
+# inside the integrator; as a consequence, geometry-moving parameters
+# (point_pos, cam_to_world) get the standard detached-sampling estimator —
+# exact through shading terms (falloff, cos, ray direction), biased where a
+# parameter would move the hit point itself.
 PARAM_FIELDS = (
     "mat_albedo_factor",
     "mat_emissive_factor",
     "mat_metalness_factor",
     "mat_roughness_factor",
     "point_color",
+    "point_pos",
     "dir_color",
     "background",
+    "cam_to_world",
 )
 
 

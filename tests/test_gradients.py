@@ -111,3 +111,37 @@ def test_inverse_rendering_recovers_albedo(scene):
         l, g = vg(albedo)
         albedo = albedo - 2.0 * g
     assert float(l) < 0.2 * float(l0), (float(l0), float(l))
+
+
+def test_light_position_grad_matches_fd(scene):
+    # Point-light position affects radiance continuously through the
+    # 1/(4 pi r^2) falloff and the light direction in eval_direct; with
+    # bounces=0 and no occlusion boundary crossed by eps, FD must agree.
+    _fd_check(scene, "point_pos", bounces=0, eps=2e-3, rtol=5e-2)
+
+
+def test_tonemap_formulas():
+    """Tonemap operators match the reference formulas exactly
+    (ref: src/renderer/tonemap.rs:23-54)."""
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.ops import tonemap as tm
+
+    c = jnp.asarray([0.0, 0.18, 1.0, 4.0])
+    np.testing.assert_allclose(np.asarray(tm.reinhard(c)),
+                               np.asarray(c / (c + 1.0)), rtol=1e-6)
+    # Filmic (Hejl-Burgess-Dawson with 0.004 toe offset)
+    x = np.maximum(np.asarray(c) - 0.004, 0.0)
+    want = (x * (6.2 * x + 0.5)) / (x * (6.2 * x + 1.7) + 0.06)
+    np.testing.assert_allclose(np.asarray(tm.filmic(c)), want, rtol=1e-6)
+    # ACES (Narkowicz, clamped)
+    xc = np.asarray(c)
+    want = np.clip((xc * (2.51 * xc + 0.03))
+                   / (xc * (2.43 * xc + 0.59) + 0.14), 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(tm.aces(c)), want, rtol=1e-6)
+    # post_process applies gamma 1/2.2 AFTER the tonemap (double-gamma
+    # quirk for Filmic, reproduced; ref mod.rs:339-345).
+    post = np.asarray(tm.post_process("REINHARD", jnp.asarray([1.0, 1.0, 1.0])))
+    np.testing.assert_allclose(post, (0.5 ** (1 / 2.2)) * 255.0, rtol=1e-5)
+    # u8 cast truncates (Rust `as u8`).
+    assert np.asarray(tm.to_u8(jnp.asarray([254.9]))).item() == 254
