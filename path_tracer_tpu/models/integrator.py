@@ -135,9 +135,9 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
     if scene.num_real_spheres != 0:
         center = scene.sph_center[sph_i]
         sph_n = pos - center
-        sph_n = sph_n / jnp.maximum(
-            jnp.linalg.norm(sph_n, axis=-1, keepdims=True), 1e-20
-        )
+        # rsqrt of clamped n^2: jnp.linalg.norm has a NaN vjp at zero.
+        sph_n = sph_n * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(sph_n * sph_n, axis=-1, keepdims=True), 1e-24))
         sph_n = jnp.where(hit.backface[:, None], -sph_n, sph_n)
     else:
         sph_n = None
@@ -162,9 +162,8 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
             bitangent = jnp.cross(n_interp, tangent)
             mapped = (tangent * nm[:, 0:1] + bitangent * nm[:, 1:2]
                       + n_interp * nm[:, 2:3])
-            mapped = mapped / jnp.maximum(
-                jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20
-            )
+            mapped = mapped * jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(mapped * mapped, axis=-1, keepdims=True), 1e-24))
             tri_shading_n = jnp.where((has_map & is_tri)[:, None], mapped,
                                       n_interp)
         # Backface flip applies to triangles only (sphere pre-negates).

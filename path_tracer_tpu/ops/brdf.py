@@ -30,9 +30,14 @@ def _dot(a, b):
 
 
 def _normalize(v):
-    # Tiny floor guards masked-out degenerate lanes (v == 0) from producing
-    # NaN that would poison reverse-mode AD through jnp.where.
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    # AD-safe normalize: jnp.linalg.norm has a NaN vjp at exactly-zero
+    # vectors (0/0) even when the cotangent is zero, and v + l == 0 occurs
+    # whenever reflection() degenerates to -v (v.wm < 0, utils.rs:34-36).
+    # rsqrt of a clamped squared norm has a finite gradient everywhere.
+    import jax
+
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
 
 
 def compute_f0(metalness, albedo):
@@ -127,8 +132,12 @@ def eval_indirect(mat, f0, n, v, l, wm):
     h = _normalize(v + l)
     f = fresnel_schlick(f0, jnp.maximum(_dot(h, v), 0.0))
     g = geometry_smith(mat.roughness, n, v, l)
-    weight = jnp.abs(_dot(v, wm)) / (
-        jnp.abs(_dot(v, n)) * jnp.abs(_dot(wm, n))
+    # Tiny denominator floor: |v.n| == 0 exactly (horizon lanes) would give
+    # an inf forward value whose reverse-mode partial (0 cotangent * inf)
+    # poisons camera-direction gradients with NaN. The reference divides
+    # raw (cook_torrance.rs:77-80) — such lanes are garbage there too.
+    weight = jnp.abs(_dot(v, wm)) / jnp.maximum(
+        jnp.abs(_dot(v, n)) * jnp.abs(_dot(wm, n)), 1e-20
     )
     above = _dot(n, l) > 0.0
     specular = jnp.where(above[:, None], (g * weight)[:, None] * f, 0.0)
