@@ -324,8 +324,14 @@ def closest_hit(o, d, t_prev, scene, block: int = 512) -> HitRecord:
         tri = _miss_record(r)
     else:
         tri = _closest_hit_tris_dispatch(o, d, t_prev, scene, block)
-    sph = (closest_hit_spheres(o, d, t_prev, scene)
-           if has_sphs else _miss_record(r))
+    if not has_sphs:
+        sph = _miss_record(r)
+    elif _on_tpu():
+        from path_tracer_tpu.ops.pallas_spheres import closest_hit_spheres_pallas
+
+        sph = closest_hit_spheres_pallas(o, d, t_prev, scene)
+    else:
+        sph = closest_hit_spheres(o, d, t_prev, scene)
     if not has_tris:
         return sph
     if not has_sphs:

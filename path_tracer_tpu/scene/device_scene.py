@@ -43,6 +43,17 @@ def _pad_to(n: int, m: int) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
 
+def _pack_spheres(centers: np.ndarray, radii: np.ndarray) -> np.ndarray:
+    """[4, S_pad] lane-major sphere table padded with guaranteed misses."""
+    s = centers.shape[0]
+    s_pad = _pad_to(s, 128)
+    out = np.full((4, s_pad), 1e30, np.float32)
+    out[3, :] = 0.0
+    out[0:3, :s] = centers.T
+    out[3, :s] = radii
+    return out
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceScene:
@@ -123,6 +134,10 @@ class DeviceScene:
     sl_meta_t: jax.Array  # [2, Nsl] i32 (skip, block_id+1; 0 = internal)
     sl_tris_t: jax.Array  # [9, n_blocks*512] f32, block-aligned windows
     sl_map: jax.Array  # [n_blocks*512] i32 packed->global prim id (pad: 0)
+    # Lane-major sphere table [4, S_pad] = (cx, cy, cz, r), padded to a
+    # 128-lane multiple with guaranteed-miss spheres, for the fused Pallas
+    # sphere kernel (ops/pallas_spheres.py).
+    sph_packed_t: jax.Array  # [4, S_pad] f32
 
     # --- static (non-traced) scene facts; part of the jit key -------------
     # True when every material is fully opaque (opacity factor >= 1, no
@@ -478,6 +493,7 @@ def build_device_scene(scene: isf.Scene, root,
         sl_meta_t=jnp.asarray(sl_meta_t),
         sl_tris_t=jnp.asarray(np.ascontiguousarray(sl_tris.T)),
         sl_map=jnp.asarray(sl_map),
+        sph_packed_t=jnp.asarray(_pack_spheres(centers, radii)),
         no_textures=len(atlas.offsets) == 1,
         num_real_triangles=n_tris,
         num_real_spheres=len(sph_radius),
