@@ -200,6 +200,15 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
         def in_range(t):
             return True
 
+    def _exact_t_max():
+        """Range limit as a per-ray t_max for the Pallas any-hit kernels:
+        the positive root of |o + t d - surf|^2 = max_dist^2."""
+        if max_dist is None:
+            return jnp.full((r,), jnp.inf, jnp.float32)
+        disc = b_dot_d[:, 0] ** 2 - d_sq[:, 0] * (b_sq[:, 0] - limit_sq[:, 0])
+        return (-b_dot_d[:, 0]
+                + jnp.sqrt(jnp.maximum(disc, 0.0))) / d_sq[:, 0]
+
     hit = jnp.zeros((r,), jnp.bool_)
 
     if scene.num_real_triangles != 0:
@@ -210,13 +219,7 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
             from path_tracer_tpu.ops.pallas_bvh import occluded_triangles_packet
             from path_tracer_tpu.ops.sorting import ray_sort_keys, sort_permutation
 
-            if max_dist is not None:
-                disc = b_dot_d[:, 0] ** 2 - d_sq[:, 0] * (
-                    b_sq[:, 0] - limit_sq[:, 0])
-                t_max = (-b_dot_d[:, 0]
-                         + jnp.sqrt(jnp.maximum(disc, 0.0))) / d_sq[:, 0]
-            else:
-                t_max = jnp.full((r,), jnp.inf, jnp.float32)
+            t_max = _exact_t_max()
             root = scene.bvh_nodes[0]
             keys = ray_sort_keys(o, d, root[0:3], root[3:6])
             perm, inv = sort_permutation(keys)
@@ -250,6 +253,11 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
 
             hit, _ = jax.lax.scan(body, hit, (v0b, e1b, e2b))
 
+    # NOTE: a Pallas any-hit sphere kernel exists (occluded_spheres_pallas)
+    # but dispatching it here REGRESSED the spheres bench 36.9 -> 19.2
+    # Mray/s: the XLA path fuses the quadratic solve with the surrounding
+    # shading elementwise work, while a pallas_call is a fusion barrier
+    # (24 launches per sample at 4 lights x 6 bounces). Keep XLA here.
     if scene.num_real_spheres != 0:
         a, b, cc = _sphere_quadratic(o, d, scene)
         disc = b * b - 4.0 * a * cc

@@ -137,3 +137,89 @@ def closest_hit_spheres_pallas(o, d, t_prev, scene,
         v=jnp.zeros((r,), jnp.float32),
         backface=fout[1, :r] != 0.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Any-hit occlusion variant: shadow casts only need "any root in
+# [0, t_max]" — fused with the quadratic solve, no HitRecord.
+# ---------------------------------------------------------------------------
+
+
+def _occ_kernel(o_ref, d_ref, tmax_ref, sph_ref, out_ref, *, n_sph: int):
+    ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
+    dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
+    t_max = tmax_ref[0, :]
+
+    cx = sph_ref[0, :][None, :]
+    cy = sph_ref[1, :][None, :]
+    cz = sph_ref[2, :][None, :]
+    rad = sph_ref[3, :][None, :]
+
+    def rc(a):
+        return a[:, None]
+
+    ocx = rc(ox) - cx
+    ocy = rc(oy) - cy
+    ocz = rc(oz) - cz
+    a = rc(dx * dx + dy * dy + dz * dz)
+    b = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
+    c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = b * b - 4.0 * a * c
+    has = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+    inv2a = 1.0 / (2.0 * a)
+    t1 = (-b - sq) * inv2a
+    t2 = (-b + sq) * inv2a
+
+    tm = rc(t_max)
+    v1 = has & (t1 >= 0.0) & (t1 <= tm)
+    v2 = has & (t2 >= 0.0) & (t2 <= tm)
+    out_ref[0, :] = jnp.max(jnp.where(v1 | v2, 1.0, 0.0), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _occ_launch(o_t, d_t, t_max, sph_t, interpret=False):
+    r = o_t.shape[1]
+    n_sph = sph_t.shape[1]
+    kernel = functools.partial(_occ_kernel, n_sph=n_sph)
+    grid = (r // RAY_TILE,)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_sph), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, r), jnp.float32)],
+        interpret=interpret,
+    )(o_t, d_t, t_max, sph_t)
+    return out
+
+
+def occluded_spheres_pallas(o, d, t_max, scene, interpret=False):
+    """[R] bool: any sphere root in [0, t_max]."""
+    r = o.shape[0]
+    r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+
+    def pad(x, fill=0.0):
+        if r_pad == r:
+            return x
+        cfg = [(0, r_pad - r)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    o_t = pad(o).T
+    d_t = pad(d, 1.0).T
+    tm = pad(t_max, -1.0)[None, :]
+
+    out = _occ_launch(o_t, d_t, tm, scene.sph_packed_t, interpret=interpret)
+    return out[0, :r] > 0.0
