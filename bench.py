@@ -31,7 +31,6 @@ def main() -> None:
     import os
 
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/path_tracer_tpu/xla"))

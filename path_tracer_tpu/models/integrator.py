@@ -46,7 +46,6 @@ import jax.numpy as jnp
 
 from path_tracer_tpu.ops import brdf, rng, texturing
 from path_tracer_tpu.ops.intersect import (
-    KIND_SPHERE,
     KIND_TRIANGLE,
     HitRecord,
     closest_hit,

@@ -10,8 +10,6 @@ scene parameters to a target image by gradient descent.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

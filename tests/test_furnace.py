@@ -7,11 +7,9 @@ pi background should (approximately) reproduce the background — the render
 should be statistically FLAT at the background level.
 """
 import numpy as np
-import pytest
 
 
 def _render_scene(scenes_root, name, bounces, samples=32, wh=(64, 48)):
-    from path_tracer_tpu.config import Profile, Resolution
     from path_tracer_tpu.models.integrator import IntegratorSpec
     from path_tracer_tpu.models.renderer import render_pixel_sums
     from path_tracer_tpu.scene import load_scene

@@ -5,8 +5,6 @@ The jnp closest_hit_triangles is validated directly against the reference's
 hit-for-hit, which transitively gates it on the same fixtures. Runs in
 interpreter mode on CPU; the compiled path is exercised on TPU by bench/CLI.
 """
-import dataclasses
-
 import jax.numpy as jnp
 import numpy as np
 import pytest

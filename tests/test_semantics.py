@@ -14,7 +14,6 @@ reproduces the reference behavior exactly:
   UV (ref mod.rs:324 quirk).
 - Point light radiance is color/(4 pi r^2) (ref mod.rs:315-318).
 """
-import json
 import math
 
 import jax.numpy as jnp
