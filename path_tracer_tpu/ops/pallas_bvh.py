@@ -41,7 +41,7 @@ from path_tracer_tpu.ops.intersect import (
 RAY_TILE = 256  # rays per packet (lane dimension)
 
 
-def _kernel(o_ref, d_ref, tp_ref, nodes_ref, meta_ref, tris_ref,
+def _kernel(o_ref, d_ref, tp_ref, nodes6_ref, meta6_ref, tris_ref,
             fout_ref, iout_ref, *, n_nodes: int, block: int, n_tiles: int):
     """Single gridless program; loops over ray tiles so the node/tri tables
     stay VMEM-resident exactly once (a pipelined grid would double-buffer
@@ -49,16 +49,31 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_ref, meta_ref, tris_ref,
     reductions — narrow [N,8] rows would pad to 128 lanes in VMEM (16x) and
     unaligned dynamic lane slices are not reliably lowerable."""
 
-    def read_node(i):
-        aligned = pl.multiple_of((i >> 7) << 7, 128)
-        lane = i & 127
-        w = nodes_ref[:, pl.ds(aligned, 128)]  # [8,128]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        node = jnp.sum(jnp.where(lanes == lane, w, 0.0), axis=1)  # [8]
-        wi = meta_ref[:, pl.ds(aligned, 128)]  # [2,128]
-        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
-        meta = jnp.sum(jnp.where(lanes2 == lane, wi, 0), axis=1)  # [2]
-        return node, meta
+    def make_read_node(layout):
+        def read_node(i):
+            aligned = pl.multiple_of((i >> 7) << 7, 128)
+            lane = i & 127
+            w = nodes6_ref[layout, :, pl.ds(aligned, 128)]  # [8,128]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            node = jnp.sum(jnp.where(lanes == lane, w, 0.0), axis=1)  # [8]
+            wi = meta6_ref[layout, :, pl.ds(aligned, 128)]  # [2,128]
+            lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+            meta = jnp.sum(jnp.where(lanes2 == lane, wi, 0), axis=1)  # [2]
+            return node, meta
+
+        return read_node
+
+    def pick_layout(dx, dy, dz):
+        """Front-to-back layout = 2*dominant_axis + (negative ? 1 : 0),
+        from the tile's mean direction."""
+        sx = jnp.sum(dx)
+        sy = jnp.sum(dy)
+        sz = jnp.sum(dz)
+        ax_, ay_, az_ = jnp.abs(sx), jnp.abs(sy), jnp.abs(sz)
+        axis = jnp.where(ax_ >= jnp.maximum(ay_, az_), 0,
+                         jnp.where(ay_ >= az_, 1, 2))
+        s = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+        return 2 * axis + jnp.where(s < 0.0, 1, 0)
 
     def tile_body(tile, _):
         base = tile * RAY_TILE
@@ -142,6 +157,8 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_ref, meta_ref, tris_ref,
             bb = jnp.where(better, jnp.where(pick(det) < 0.0, 1.0, 0.0), bb)
             return bt, bi, bu, bv, bb
 
+        read_node = make_read_node(pick_layout(dx, dy, dz))
+
         def cond(state):
             return state[0] < n_nodes
 
@@ -188,7 +205,7 @@ def _kernel(o_ref, d_ref, tp_ref, nodes_ref, meta_ref, tris_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "block", "interpret"))
-def _launch(o_t, d_t, t_prev, nodes_t, meta_t, tris_t, n_nodes, block,
+def _launch(o_t, d_t, t_prev, nodes6, meta6, tris_t, n_nodes, block,
             interpret=False):
     r = o_t.shape[1]
     n_tiles = r // RAY_TILE
@@ -208,7 +225,7 @@ def _launch(o_t, d_t, t_prev, nodes_t, meta_t, tris_t, n_nodes, block,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(o_t, d_t, t_prev, nodes_t, meta_t, tris_t)
+    )(o_t, d_t, t_prev, nodes6, meta6, tris_t)
     return fout, iout
 
 
@@ -228,7 +245,7 @@ def closest_hit_triangles_packet(o, d, t_prev, scene,
     d_t = pad(d, 1.0).T
     tp = pad(t_prev)[None, :]
 
-    fout, iout = _launch(o_t, d_t, tp, scene.sl_nodes_t, scene.sl_meta_t,
+    fout, iout = _launch(o_t, d_t, tp, scene.sl_nodes6, scene.sl_meta6,
                          scene.sl_tris_t, scene.sl_n_nodes, scene.sl_block,
                          interpret=interpret)
     bt = fout[0, :r]
@@ -253,18 +270,31 @@ def closest_hit_triangles_packet(o, d, t_prev, scene,
 # ---------------------------------------------------------------------------
 
 
-def _occ_kernel(o_ref, d_ref, tmax_ref, nodes_ref, meta_ref, tris_ref,
+def _occ_kernel(o_ref, d_ref, tmax_ref, nodes6_ref, meta6_ref, tris_ref,
                 out_ref, *, n_nodes: int, block: int, n_tiles: int):
-    def read_node(i):
-        aligned = pl.multiple_of((i >> 7) << 7, 128)
-        lane = i & 127
-        w = nodes_ref[:, pl.ds(aligned, 128)]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        node = jnp.sum(jnp.where(lanes == lane, w, 0.0), axis=1)
-        wi = meta_ref[:, pl.ds(aligned, 128)]
-        lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
-        meta = jnp.sum(jnp.where(lanes2 == lane, wi, 0), axis=1)
-        return node, meta
+    def make_read_node(layout):
+        def read_node(i):
+            aligned = pl.multiple_of((i >> 7) << 7, 128)
+            lane = i & 127
+            w = nodes6_ref[layout, :, pl.ds(aligned, 128)]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            node = jnp.sum(jnp.where(lanes == lane, w, 0.0), axis=1)
+            wi = meta6_ref[layout, :, pl.ds(aligned, 128)]
+            lanes2 = jax.lax.broadcasted_iota(jnp.int32, (2, 128), 1)
+            meta = jnp.sum(jnp.where(lanes2 == lane, wi, 0), axis=1)
+            return node, meta
+
+        return read_node
+
+    def pick_layout(dx, dy, dz):
+        sx = jnp.sum(dx)
+        sy = jnp.sum(dy)
+        sz = jnp.sum(dz)
+        ax_, ay_, az_ = jnp.abs(sx), jnp.abs(sy), jnp.abs(sz)
+        axis = jnp.where(ax_ >= jnp.maximum(ay_, az_), 0,
+                         jnp.where(ay_ >= az_, 1, 2))
+        s = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+        return 2 * axis + jnp.where(s < 0.0, 1, 0)
 
     def tile_body(tile, _):
         base = tile * RAY_TILE
@@ -330,6 +360,8 @@ def _occ_kernel(o_ref, d_ref, tmax_ref, nodes_ref, meta_ref, tris_ref,
             hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1)  # [RT]
             return jnp.maximum(occ, hit)
 
+        read_node = make_read_node(pick_layout(dx, dy, dz))
+
         def cond(state):
             i, occ = state
             return (i < n_nodes) & jnp.any(occ < 1.0)
@@ -363,7 +395,7 @@ def _occ_kernel(o_ref, d_ref, tmax_ref, nodes_ref, meta_ref, tris_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "block", "interpret"))
-def _occ_launch(o_t, d_t, t_max, nodes_t, meta_t, tris_t, n_nodes, block,
+def _occ_launch(o_t, d_t, t_max, nodes6, meta6, tris_t, n_nodes, block,
                 interpret=False):
     r = o_t.shape[1]
     n_tiles = r // RAY_TILE
@@ -379,7 +411,7 @@ def _occ_launch(o_t, d_t, t_max, nodes_t, meta_t, tris_t, n_nodes, block,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(o_t, d_t, t_max, nodes_t, meta_t, tris_t)
+    )(o_t, d_t, t_max, nodes6, meta6, tris_t)
     return out
 
 
@@ -399,7 +431,7 @@ def occluded_triangles_packet(o, d, t_max, scene, interpret=False):
     d_t = pad(d, 1.0).T
     tm = pad(t_max, -1.0)[None, :]  # padded lanes occlude nothing
 
-    out = _occ_launch(o_t, d_t, tm, scene.sl_nodes_t, scene.sl_meta_t,
+    out = _occ_launch(o_t, d_t, tm, scene.sl_nodes6, scene.sl_meta6,
                       scene.sl_tris_t, scene.sl_n_nodes, scene.sl_block,
                       interpret=interpret)
     return out[0, :r] > 0.0

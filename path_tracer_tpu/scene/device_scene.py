@@ -130,8 +130,11 @@ class DeviceScene:
     # vectorized MT — serial per-node stepping cannot amortize on a
     # single-core TPU, dense VPU tiles can. Tables are transposed ([8,N] etc)
     # because VMEM pads the last dim to 128 lanes (16x waste on [N,8] rows).
-    sl_nodes_t: jax.Array  # [8, Nsl] f32 bounds (mn.xyz, mx.xyz, 2 pad)
-    sl_meta_t: jax.Array  # [2, Nsl] i32 (skip, block_id+1; 0 = internal)
+    # SIX direction-ordered DFS layouts of the superleaf tree (axis*2+neg):
+    # children near-first along the dominant ray direction, so best-t
+    # pruning fires early (front-to-back stackless traversal).
+    sl_nodes6: jax.Array  # [6, 8, Nsl] f32 bounds (mn.xyz, mx.xyz, 2 pad)
+    sl_meta6: jax.Array  # [6, 2, Nsl] i32 (skip, block_id+1; 0 = internal)
     sl_tris_t: jax.Array  # [9, n_blocks*512] f32, block-aligned windows
     sl_map: jax.Array  # [n_blocks*512] i32 packed->global prim id (pad: 0)
     # Lane-major sphere table [4, S_pad] = (cx, cy, cz, r), padded to a
@@ -393,20 +396,18 @@ def build_device_scene(scene: isf.Scene, root,
             sl_map[base : base + c] = ids
             meta_leaf[ni] = b + 1
         nsl = sl.skip.shape[0]
-        nsl_pad = ((nsl + 127) // 128) * 128
-        sl_nodes_t = np.zeros((8, nsl_pad), np.float32)
-        sl_nodes_t[0:3, :nsl] = sl.node_min.T
-        sl_nodes_t[3:6, :nsl] = sl.node_max.T
-        sl_meta_t = np.zeros((2, nsl_pad), np.int32)
-        sl_meta_t[0, :nsl] = sl.skip
-        sl_meta_t[1, :nsl] = meta_leaf
+        from path_tracer_tpu.scene.bvh_layouts import build_directional_layouts
+
+        sl_nodes6, sl_meta6 = build_directional_layouts(
+            sl.node_min, sl.node_max, sl.prim_count, sl.skip, meta_leaf
+        )
     else:
         nsl = 1
-        sl_nodes_t = np.zeros((8, 128), np.float32)
-        sl_nodes_t[0:3, 0] = np.inf
-        sl_nodes_t[3:6, 0] = -np.inf
-        sl_meta_t = np.zeros((2, 128), np.int32)
-        sl_meta_t[0, 0] = 1
+        sl_nodes6 = np.zeros((6, 8, 128), np.float32)
+        sl_nodes6[:, 0:3, 0] = np.inf
+        sl_nodes6[:, 3:6, 0] = -np.inf
+        sl_meta6 = np.zeros((6, 2, 128), np.int32)
+        sl_meta6[:, 0, 0] = 1
         sl_tris = np.zeros((SL_BLOCK, 9), np.float32)
         sl_map = np.zeros(SL_BLOCK, np.int32)
 
@@ -489,8 +490,8 @@ def build_device_scene(scene: isf.Scene, root,
         tri_packed_t=jnp.asarray(
             np.ascontiguousarray(bvh_tris[:n_pad].T)
         ),
-        sl_nodes_t=jnp.asarray(sl_nodes_t),
-        sl_meta_t=jnp.asarray(sl_meta_t),
+        sl_nodes6=jnp.asarray(sl_nodes6),
+        sl_meta6=jnp.asarray(sl_meta6),
         sl_tris_t=jnp.asarray(np.ascontiguousarray(sl_tris.T)),
         sl_map=jnp.asarray(sl_map),
         sph_packed_t=jnp.asarray(_pack_spheres(centers, radii)),
