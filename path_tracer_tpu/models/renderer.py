@@ -79,6 +79,17 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
     else:
         accs = [jnp.zeros((tile, 3), jnp.float32) for _ in range(n_tiles)]
 
+    # Multi-device: route tiles through the shard_map renderer (pixel lanes
+    # sharded, scene replicated; the counter-based RNG makes results
+    # layout-invariant). GSPMD auto-sharding cannot infer the scene-table
+    # gathers, so the explicit shard_map path is used.
+    devices = jax.devices()
+    mesh = None
+    if len(devices) > 1 and tile % len(devices) == 0:
+        from path_tracer_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh()
+
     def snapshot():
         return np.concatenate([np.asarray(a) for a in accs], axis=0)[:n_pix]
 
@@ -87,8 +98,16 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
     while sample < end:
         k = min(spl, end - sample)
         for ti in range(n_tiles):
-            accs[ti] = _accumulate_tile(accs[ti], scene, tile_ids[ti], width,
-                                        height, jnp.int32(sample), k, spec)
+            if mesh is not None:
+                from path_tracer_tpu.parallel.render import render_sharded
+
+                accs[ti] = accs[ti] + render_sharded(
+                    scene, mesh, tile_ids[ti], width, height,
+                    jnp.int32(sample), k, spec)
+            else:
+                accs[ti] = _accumulate_tile(accs[ti], scene, tile_ids[ti],
+                                            width, height, jnp.int32(sample),
+                                            k, spec)
         sample += k
         if pass_callback is not None:
             pass_callback(sample - sample_start, snapshot)
