@@ -24,3 +24,17 @@ Layout (mirrors the reference's capability map, SURVEY.md §1, reference
 __version__ = "0.1.0"
 
 from path_tracer_tpu.config import Profile, Resolution  # noqa: F401
+
+
+def load_scene(path):
+    """Load an ISF scene into a device SoA scene (lazy import)."""
+    from path_tracer_tpu.scene import load_scene as _load
+
+    return _load(path)
+
+
+def render(scene, profile=None, **kwargs):
+    """Render a device scene → [H,W,3] uint8 (lazy import)."""
+    from path_tracer_tpu.models.renderer import render as _render
+
+    return _render(scene, profile or Profile(), **kwargs)

@@ -189,3 +189,20 @@ def test_convert_errors(tmp_path):
     }))
     with pytest.raises(ValueError, match="No camera"):
         convert_gltf_to_isf(no_cam, tmp_path / "o2")
+
+
+def test_convert_via_cli(tmp_path):
+    """The `convert` subcommand end-to-end (ref: main.rs:54, run_convert)."""
+    from path_tracer_tpu import cli
+
+    src = _build_gltf(tmp_path, binary=True)
+    out = tmp_path / "cli_out"
+    cli.main(["convert", str(src), str(out)])
+    assert (out / "scene.isf").exists()
+
+    # Error path prints to stderr and exits 2 (ref main.rs:17-21).
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        cli.main(["convert", str(tmp_path / "missing.glb"), str(out)])
+    assert exc.value.code == 2
