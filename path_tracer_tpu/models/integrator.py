@@ -199,7 +199,8 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
 
     def step(carry):
         k, sel, seen_any, t_prev, active = carry
-        hit = closest_hit(o, d, t_prev, scene, block=spec.tri_block)
+        hit = closest_hit(o, d, t_prev, scene, block=spec.tri_block,
+                          active=active if scene.use_bvh else None)
         found = active & hit.valid
         # Opacity of this candidate hit at its own UV/type.
         model, uv, simple = _hit_model_uv(scene, hit)
@@ -249,7 +250,8 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
         from path_tracer_tpu.ops.intersect import occluded
 
         blocked = occluded(s_o, s_d, scene, surf_pos=surf_pos,
-                           max_dist=point_dist, block=spec.tri_block)
+                           max_dist=point_dist, block=spec.tri_block,
+                           active=active if scene.use_bvh else None)
         return jnp.where(blocked[:, None], 0.0, att0)
 
     # The walk carries a scalar transmittance (opacity is channel-uniform);
@@ -265,7 +267,8 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
 
     def step(carry):
         k, trans, t_prev, walking = carry
-        hit = closest_hit(s_o, s_d, t_prev, scene, block=spec.tri_block)
+        hit = closest_hit(s_o, s_d, t_prev, scene, block=spec.tri_block,
+                          active=walking if scene.use_bvh else None)
         found = walking & hit.valid
         model, uv, simple = _hit_model_uv(scene, hit)
         if point_dist is not None:

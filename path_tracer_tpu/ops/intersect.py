@@ -173,7 +173,7 @@ def closest_hit_spheres(o, d, t_prev, scene) -> HitRecord:
 
 
 def occluded(o, d, scene, surf_pos=None, max_dist=None,
-             block: int = 512) -> jnp.ndarray:
+             block: int = 512, active=None) -> jnp.ndarray:
     """[R] bool any-hit occlusion query — the fast shadow path for fully
     opaque scenes, where the reference's occluder walk (ref mod.rs:283-331)
     reduces to "is there ANY occluder (within range)".
@@ -220,8 +220,15 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
             from path_tracer_tpu.ops.sorting import ray_sort_keys, sort_permutation
 
             t_max = _exact_t_max()
+            if active is not None:
+                # Dead lanes occlude nothing and sort to the end so
+                # all-dead tiles exit after one node step.
+                t_max = jnp.where(active, t_max, -1.0)
             root = scene.bvh_nodes[0]
             keys = ray_sort_keys(o, d, root[0:3], root[3:6])
+            if active is not None:
+                keys = keys | jnp.where(active, jnp.uint32(0),
+                                        jnp.uint32(1) << 31)
             perm, inv = sort_permutation(keys)
             occ = occluded_triangles_packet(o[perm], d[perm], t_max[perm],
                                             scene)
@@ -293,9 +300,17 @@ def _on_tpu() -> bool:
         return False
 
 
-def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int) -> HitRecord:
+def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
+                               active=None) -> HitRecord:
     """Pick the triangle closest-hit implementation: Pallas on TPU (packet
-    BVH when scene.use_bvh, else fused brute force), jnp elsewhere."""
+    BVH when scene.use_bvh, else fused brute force), jnp elsewhere.
+
+    ``active`` (optional [R] bool): dead lanes are given t_prev = +inf so
+    they can never pass a slab/MT test — in the packet kernel they stop
+    expanding tile unions — and sort to the END so all-dead tiles exit
+    after one node step."""
+    if active is not None:
+        t_prev = jnp.where(active, t_prev, jnp.inf)
     if _on_tpu():
         if getattr(scene, "use_bvh", False):
             from path_tracer_tpu.ops.pallas_bvh import closest_hit_triangles_packet
@@ -306,6 +321,9 @@ def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int) -> HitRecord:
             # tiles stay coherent, then scatter results back.
             root = scene.bvh_nodes[0]
             keys = ray_sort_keys(o, d, root[0:3], root[3:6])
+            if active is not None:
+                keys = keys | jnp.where(active, jnp.uint32(0),
+                                        jnp.uint32(1) << 31)
             perm, inv = sort_permutation(keys)
             hit = closest_hit_triangles_packet(o[perm], d[perm],
                                                t_prev[perm], scene)
@@ -320,18 +338,24 @@ def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int) -> HitRecord:
     return closest_hit_triangles(o, d, t_prev, scene, block=block)
 
 
-def closest_hit(o, d, t_prev, scene, block: int = 512) -> HitRecord:
+def closest_hit(o, d, t_prev, scene, block: int = 512,
+                active=None) -> HitRecord:
     """Closest hit among all primitives with t > t_prev (pass t_prev=-1.0 for
     a fresh cast: triangles still enforce t > 1e-6; spheres allow t >= 0,
     matching the reference's per-type cutoffs). Primitive classes the scene
-    does not contain are skipped statically (num_real_* == 0)."""
+    does not contain are skipped statically (num_real_* == 0). ``active``
+    masks dead lanes out of the (packet-kernel) work."""
     r = o.shape[0]
     has_tris = scene.num_real_triangles != 0
     has_sphs = scene.num_real_spheres != 0
+    if active is not None:
+        # Dead lanes can never satisfy t > +inf in any primitive test.
+        t_prev = jnp.where(active, t_prev, jnp.inf)
     if not has_tris:
         tri = _miss_record(r)
     else:
-        tri = _closest_hit_tris_dispatch(o, d, t_prev, scene, block)
+        tri = _closest_hit_tris_dispatch(o, d, t_prev, scene, block,
+                                         active=active)
     if not has_sphs:
         sph = _miss_record(r)
     elif _on_tpu():
