@@ -250,3 +250,47 @@ def test_directional_shadow_samples_occluder_uv(tmp_path):
     light = isf.DirectionalLight(direction=(0, 0, -1), color=(1, 1, 1))
     col = _quirk_scene(tmp_path, light)
     assert col[0] > 0.25  # ~1/pi diffuse
+
+
+def test_mirror_reflection():
+    """Metal=1, roughness~0 floor acts as a mirror: one bounce reflects the
+    camera ray into an emissive panel (ref: cook_torrance GGX with a~0 puts
+    all indirect energy along the reflection direction)."""
+    # Mirror floor at y=0; emissive panel on the ceiling at y=4 so the
+    # reflected (upward) ray hits it. Camera looks down at the floor.
+    def v(x, y, z, uv, n):
+        return isf.Vertex(position=(x, y, z), normal=n, tex_coords=uv)
+
+    # Winding chosen so the geometric face normal points +y, matching the
+    # vertex normals (otherwise the backface flip inverts the mirror).
+    floor = isf.Mesh(
+        triangles=[
+            (v(-3, 0, -3, (0, 0), (0, 1, 0)), v(3, 0, 3, (1, 1), (0, 1, 0)),
+             v(3, 0, -3, (1, 0), (0, 1, 0))),
+            (v(-3, 0, -3, (0, 0), (0, 1, 0)), v(-3, 0, 3, (0, 1), (0, 1, 0)),
+             v(3, 0, 3, (1, 1), (0, 1, 0))),
+        ],
+        material=_mat(albedo=(1, 1, 1), roughness=0.02),
+    )
+    floor.material.metalness = isf.Channel1(factor=1.0)
+    panel = isf.Mesh(
+        triangles=[
+            (v(-3, 4, -3, (0, 0), (0, -1, 0)), v(3, 4, -3, (1, 0), (0, -1, 0)),
+             v(3, 4, 3, (1, 1), (0, -1, 0))),
+            (v(-3, 4, -3, (0, 0), (0, -1, 0)), v(3, 4, 3, (1, 1), (0, -1, 0)),
+             v(-3, 4, 3, (0, 1), (0, -1, 0))),
+        ],
+        material=_mat(emissive=(0.0, 3.0, 0.0)),
+    )
+    # Camera at (0,2,2) pitched steeply down toward the floor center.
+    c, s = math.cos(-1.1), math.sin(-1.1)
+    cam = isf.Camera(
+        transform=[[1, 0, 0, 0], [0, c, s, 0], [0, -s, c, 0], [0, 2, 2, 1]],
+        fov=math.radians(10), zfar=100, znear=0.01,
+    )
+    scene = isf.Scene(models=[floor, panel], camera=cam, lights=[],
+                      background=(0, 0, 0))
+    col = _render_center(scene, bounces=1, spp=64)
+    # The mirror bounce must pick up the green panel emission strongly.
+    assert col[1] > 1.0, col
+    assert col[0] < 0.05 and col[2] < 0.05
