@@ -236,7 +236,8 @@ class _AtlasBuilder:
 
 
 def build_device_scene(scene: isf.Scene, root,
-                       use_bvh: Optional[bool] = None) -> DeviceScene:
+                       use_bvh: Optional[bool] = None,
+                       sl_block: int = 512) -> DeviceScene:
     """Flatten an ISF scene into device SoA arrays.
 
     Mirrors Scene::load (ref: src/scene/internal/mod.rs:35-51) minus the
@@ -371,7 +372,8 @@ def build_device_scene(scene: isf.Scene, root,
     # --- Superleaf BVH (shallow tree over 512-tri blocks) for the Pallas
     # packet kernel; built over the leaf4-PERMUTED arrays so block prim ids
     # are directly the global (permuted) triangle ids.
-    SL_BLOCK = 512
+    SL_BLOCK = sl_block
+    assert SL_BLOCK % 128 == 0, "superleaf blocks must be 128-lane aligned"
     if n_tris:
         from path_tracer_tpu.native import build_bvh as _build_bvh
 
