@@ -1,12 +1,19 @@
-"""Benchmark: rays/s on a PS5-class showcase config (1080p, 5 bounces).
+"""Benchmark: rays/s on the PS5-class showcase workload (1080p, 5 bounces).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+The default scene is the north-star workload from BASELINE.md: a PS5-class
+procedural mesh scene (~100k triangles + spheres, 3 lights) rendered through
+the packet-BVH path at 1920x1080 with 5 bounces — the analog of the
+reference's showcase render (ref README.md:14-15, 1900x1080 b5 s128).
+``BENCH_SCENE=spheres`` selects the secondary analytic-sphere workload
+(reference tests/scenes/spheres).
 
 The reference publishes no rays/s numbers (BASELINE.md: `published: {}`), so
-``vs_baseline`` is computed against a documented nominal for the reference
-Rust CPU tracer: 10 Mray/s on a multicore desktop CPU — the right order of
-magnitude for a brute-force-per-KD-leaf Rust path tracer at the showcase
-config (README.md:14-15 renders 1900x1080 b5 s128 with no timing given).
+``vs_baseline`` is a ratio against a NOMINAL estimate, not a measured
+baseline: 10 Mray/s for the multicore Rust CPU tracer at this config. The
+JSON is self-describing about this (`baseline_is_nominal`,
+`nominal_baseline_rays_per_s`).
 
 Ray accounting matches SURVEY §3.1's cost sketch: one path segment per
 bounce-iteration per sample per pixel = W*H*spp*(bounces+1) camera+bounce
@@ -15,11 +22,13 @@ rays (shadow rays excluded, consistent with how rays/s is usually quoted).
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
 REFERENCE_SPHERES = Path("/root/reference/tests/scenes/spheres/scene.isf")
-BASELINE_RAYS_PER_S = 10e6  # documented nominal for the Rust CPU reference
+VENDORED_SPHERES = Path(__file__).parent / "tests/scenes/spheres/scene.isf"
+NOMINAL_BASELINE_RAYS_PER_S = 10e6  # documented NOMINAL for the Rust CPU ref
 
 WIDTH, HEIGHT = 1920, 1080
 BOUNCES = 5
@@ -28,8 +37,6 @@ TIMED_SAMPLES = 16
 
 
 def main() -> None:
-    import os
-
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -40,14 +47,14 @@ def main() -> None:
     from path_tracer_tpu.models.renderer import render_pixel_sums
     from path_tracer_tpu.scene import load_scene
 
-    import os
-
-    which = os.environ.get("BENCH_SCENE", "spheres")
+    which = os.environ.get("BENCH_SCENE", "showcase")
     if which == "showcase":
         # PS5-class procedural scene (~100k tris + spheres), packet BVH.
         from path_tracer_tpu.scene.showcase import showcase_device_scene
 
         scene = showcase_device_scene(use_bvh=True)
+    elif VENDORED_SPHERES.exists():
+        scene = load_scene(VENDORED_SPHERES)
     elif REFERENCE_SPHERES.exists():
         scene = load_scene(REFERENCE_SPHERES)
     else:
@@ -75,10 +82,14 @@ def main() -> None:
     rays = n_pix * TIMED_SAMPLES * (BOUNCES + 1)
     rays_per_s = rays / elapsed
     print(json.dumps({
-        "metric": "rays_per_s",
+        "metric": f"rays_per_s_{which}",
         "value": round(rays_per_s),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "vs_baseline": round(rays_per_s / NOMINAL_BASELINE_RAYS_PER_S, 3),
+        "baseline_is_nominal": True,
+        "nominal_baseline_rays_per_s": NOMINAL_BASELINE_RAYS_PER_S,
+        "scene": which,
+        "config": f"{WIDTH}x{HEIGHT} b{BOUNCES} spp{TIMED_SAMPLES}",
     }))
 
 

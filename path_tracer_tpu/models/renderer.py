@@ -64,6 +64,11 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
     """
     n_pix = width * height
     tile = min(tile_rays, max(1, n_pix))
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # Round the tile up to a device multiple so every tile can shard
+        # across the mesh (padded lanes render pixel 0 and are discarded).
+        tile = ((tile + n_dev - 1) // n_dev) * n_dev
     n_tiles = (n_pix + tile - 1) // tile
     spl = max(1, samples_per_launch)
 
@@ -85,10 +90,17 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
     # gathers, so the explicit shard_map path is used.
     devices = jax.devices()
     mesh = None
-    if len(devices) > 1 and tile % len(devices) == 0:
-        from path_tracer_tpu.parallel.mesh import default_mesh
+    if len(devices) > 1:
+        if tile % len(devices) == 0:
+            from path_tracer_tpu.parallel.mesh import default_mesh
 
-        mesh = default_mesh()
+            mesh = default_mesh()
+        else:
+            import warnings
+
+            warnings.warn(
+                f"tile size {tile} not divisible by {len(devices)} devices; "
+                "rendering single-device", stacklevel=2)
 
     def snapshot():
         return np.concatenate([np.asarray(a) for a in accs], axis=0)[:n_pix]
@@ -134,7 +146,7 @@ def render(scene, profile: Profile, progress: bool = False,
         from path_tracer_tpu.utils import checkpoint as ckpt
 
         fp = ckpt.fingerprint(width, height, profile.bounces, profile.seed,
-                              scene)
+                              scene, profile=profile)
         loaded = ckpt.load(checkpoint_path, fp)
         if loaded is not None:
             init_accum, samples_done = loaded

@@ -386,7 +386,12 @@ def _occ_kernel(o_ref, d_ref, tmax_ref, nodes6_ref, meta6_ref, tris_ref,
             nxt = jnp.where(hit_any & ~is_leaf, i + 1, skip)
             return (nxt, occ)
 
-        init = (jnp.int32(0), jnp.zeros((RAY_TILE,), jnp.float32))
+        # Dead/padded lanes are marked t_max=-1 by the wrapper; start them
+        # "occluded" so all-dead tiles exit immediately instead of walking
+        # internal nodes (tn <= -1 holds for origins inside the root box, so
+        # lane_hit alone would keep them traversing). The wrapper discards
+        # these lanes, so the 1.0 never reaches _shadow_attenuation.
+        init = (jnp.int32(0), jnp.where(t_max < 0.0, 1.0, 0.0))
         _, occ = jax.lax.while_loop(cond, body, init)
         out_ref[0, pl.ds(base, RAY_TILE)] = occ
         return 0

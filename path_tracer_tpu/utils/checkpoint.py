@@ -19,16 +19,25 @@ _VERSION = 1
 
 
 def fingerprint(width: int, height: int, bounces: int, seed: int,
-                scene) -> str:
-    """Cheap config fingerprint: geometry/material checksums + render dims.
-    Guards against resuming a checkpoint into a different render."""
+                scene, profile=None) -> str:
+    """Config fingerprint over EVERY radiance-affecting input.
+
+    Hashes the full DeviceScene array pytree (camera transform, lights, all
+    material factors, textures, geometry, BVH) plus render dims / bounces /
+    seed and — when a Profile is given — the tonemap and alpha/shadow walk
+    depths. Guards against resuming a checkpoint into a different render.
+    """
     import hashlib
+
+    import jax
 
     h = hashlib.sha1()
     h.update(f"{_VERSION}|{width}x{height}|b{bounces}|s{seed}".encode())
-    for arr in (scene.tri_v0, scene.sph_center, scene.mat_albedo_factor,
-                scene.background):
-        h.update(np.asarray(arr).tobytes())
+    if profile is not None:
+        h.update(f"|tm{profile.tonemap}|aw{profile.alpha_walk_steps}"
+                 f"|sw{profile.shadow_walk_steps}".encode())
+    for leaf in jax.tree_util.tree_leaves(scene):
+        h.update(np.asarray(leaf).tobytes())
     return h.hexdigest()[:16]
 
 

@@ -29,7 +29,12 @@ class ProgressiveViewer:
         self.url = None
         try:
             self._start_server(port)
-        except OSError:
+        except OSError as e:
+            import warnings
+
+            warnings.warn(
+                f"viewer could not bind port {port} ({e}); falling back to "
+                "writing preview.png per pass", stacklevel=2)
             self._server = None
 
     def _start_server(self, port: int):
