@@ -24,7 +24,11 @@ from pathlib import Path
 import pytest
 
 REFERENCE = Path("/root/reference")
-SCENES = REFERENCE / "tests" / "scenes"
+# The 7 reference ISF test scenes are vendored into the repo (hermetic CI);
+# fall back to the reference checkout if the vendored copy is ever pruned.
+VENDORED_SCENES = Path(__file__).parent / "scenes"
+SCENES = VENDORED_SCENES if (VENDORED_SCENES / "cube").exists() \
+    else REFERENCE / "tests" / "scenes"
 
 
 @pytest.fixture(scope="session")

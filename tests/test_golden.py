@@ -50,7 +50,7 @@ def test_golden(reference_scenes, name):
 
 def regen():
     GOLDEN_DIR.mkdir(exist_ok=True)
-    root = Path("/root/reference/tests/scenes")
+    root = Path(__file__).parent / "scenes"
     for name in SCENES:
         img = _render(root, name)
         np.savez_compressed(GOLDEN_DIR / f"{name}.npz",

@@ -7,8 +7,6 @@ interpreter mode on CPU; the compiled path is exercised on TPU by bench/CLI.
 """
 import jax.numpy as jnp
 import numpy as np
-import pytest
-
 
 def _parity(scene, o, d, t_prev):
     from path_tracer_tpu.ops.intersect import closest_hit_triangles
@@ -29,7 +27,6 @@ def _parity(scene, o, d, t_prev):
                                   np.asarray(pk.backface))
     return float(jnp.mean(brute.valid))
 
-
 def test_pallas_matches_brute_cornell():
     from path_tracer_tpu.scene.procedural import cornell_device_scene
 
@@ -47,7 +44,6 @@ def test_pallas_matches_brute_cornell():
     # t_prev advance (the alpha-walk re-cast pattern) must agree too.
     _parity(scene, o, d, jnp.full((r,), 2.0, jnp.float32))
 
-
 def test_pallas_matches_brute_head(reference_scenes):
     from path_tracer_tpu.scene import load_scene
 
@@ -62,7 +58,6 @@ def test_pallas_matches_brute_head(reference_scenes):
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     hit_rate = _parity(scene, o, d, jnp.full((r,), -1.0, jnp.float32))
     assert hit_rate > 0.5
-
 
 def test_occlusion_kernel_matches_closest_hit():
     """Any-hit occlusion kernel == (closest hit valid & t <= t_max)."""

@@ -7,8 +7,6 @@ difference through the discriminant cancellation.
 """
 import jax.numpy as jnp
 import numpy as np
-import pytest
-
 
 def test_sphere_kernel_matches_reference(reference_scenes):
     from path_tracer_tpu.ops.intersect import closest_hit_spheres
