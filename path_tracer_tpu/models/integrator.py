@@ -114,7 +114,39 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
     # Miss lanes carry t = +inf; their Surface is masked out downstream, but
     # inf would still poison reverse-mode AD through jnp.where (0 * inf).
     t_safe = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
-    pos = o + d * t_safe[:, None]
+
+    # Planar reparameterization of the hit distance: t is a discrete
+    # intersector output (detached), so pos = o + t*d alone gives gradients
+    # that move the hit point OFF the surface when o/d depend on parameters
+    # (camera transform). Recomputing t as the ray/plane intersection with a
+    # DETACHED anchor point and surface plane — t = ((p0-o).n0)/(d.n0) —
+    # is value-identical (p0 = o + t d lies on the plane) but its derivative
+    # slides the hit point ALONG the surface, making camera/geometry
+    # gradients first-order exact away from silhouettes (tangent-plane
+    # approximation for spheres). Grazing lanes (|d.n0| ~ 0) fall back to
+    # the detached t.
+    sg = jax.lax.stop_gradient
+    p0 = sg(o + d * t_safe[:, None])
+    if scene.num_real_triangles != 0:
+        face_n = jnp.cross(scene.tri_e1[prim], scene.tri_e2[prim])
+    else:
+        face_n = None
+    if scene.num_real_spheres != 0:
+        sph_plane_n = p0 - scene.sph_center[sph_i]
+    else:
+        sph_plane_n = None
+    if face_n is None:
+        plane_n = sph_plane_n
+    elif sph_plane_n is None:
+        plane_n = face_n
+    else:
+        plane_n = jnp.where(is_tri[:, None], face_n, sph_plane_n)
+    plane_n = sg(plane_n)
+    dn = _dot(d, plane_n)
+    ok_plane = jnp.abs(dn) > 1e-12 * sg(jnp.abs(_dot(p0 - o, plane_n)) + 1.0)
+    t_plane = _dot(p0 - o, plane_n) / jnp.where(ok_plane, dn, 1.0)
+    t_rep = jnp.where(ok_plane & jnp.isfinite(hit.t), t_plane, t_safe)
+    pos = o + d * t_rep[:, None]
     model, uv, simple = _hit_model_uv(scene, hit)
 
     # Triangle: barycentric vertex-normal interpolation (NOT normalized).

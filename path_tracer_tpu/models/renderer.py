@@ -72,13 +72,20 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
     n_tiles = (n_pix + tile - 1) // tile
     spl = max(1, samples_per_launch)
 
-    all_ids = np.arange(n_tiles * tile, dtype=np.int32)
-    all_ids[n_pix:] = 0  # padded lanes re-render pixel 0; discarded below
+    # Pixels stream in HOST-computed Morton (16x16 screen tile) order: ray
+    # packets then cover screen squares, which makes every cast's wavefront
+    # coherent for free — measured faster than device-side Morton sorting
+    # AND it saves the per-cast sort+gather (ops/sorting.morton_pixel_order).
+    from path_tracer_tpu.ops.sorting import morton_pixel_order
+
+    morton = morton_pixel_order(width, height)
+    all_ids = np.zeros(n_tiles * tile, dtype=np.int32)
+    all_ids[:n_pix] = morton  # padded lanes re-render pixel 0; discarded
     tile_ids = [jnp.asarray(all_ids[t * tile : (t + 1) * tile])
                 for t in range(n_tiles)]
     if init_accum is not None:
         padded = np.zeros((n_tiles * tile, 3), np.float32)
-        padded[:n_pix] = init_accum
+        padded[:n_pix] = init_accum[morton]
         accs = [jnp.asarray(padded[t * tile : (t + 1) * tile])
                 for t in range(n_tiles)]
     else:
@@ -103,7 +110,10 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
                 "rendering single-device", stacklevel=2)
 
     def snapshot():
-        return np.concatenate([np.asarray(a) for a in accs], axis=0)[:n_pix]
+        rows = np.concatenate([np.asarray(a) for a in accs], axis=0)[:n_pix]
+        out = np.empty_like(rows)
+        out[morton] = rows  # back to linear pixel order
+        return out
 
     sample = sample_start
     end = sample_start + n_samples

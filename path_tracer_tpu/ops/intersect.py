@@ -124,19 +124,24 @@ def closest_hit_triangles(o, d, t_prev, scene, block: int = 512) -> HitRecord:
 
 
 def _sphere_quadratic(o, d, scene):
-    """(a [R,1], b [R,S], cc [R,S]) of the per-sphere quadratic, computed
-    with [R,3]x[3,S] matmuls (MXU) instead of materializing [R,S,3]
-    broadcasts — same math as ref model.rs:26-37 up to f32 reassociation."""
+    """(a [R,1], b [R,S], cc [R,S]) of the per-sphere quadratic in the
+    reference's centered oc = o - c form (ref model.rs:26-37), component-wise
+    so only [R,S] intermediates materialize (never [R,S,3]).
+
+    Do NOT rewrite this as |o|^2 - 2 o.c + |c|^2 - r^2 matmuls: that
+    expansion cancels catastrophically in f32 for rays originating ON a
+    sphere (shadow/bounce rays biased 1e-5 off the surface), producing
+    spurious self-occlusion — a ~20% energy deficit on sphere scenes that
+    the oracle parity gate caught (the Pallas kernel ops/pallas_spheres.py
+    always used the centered form)."""
     c = scene.sph_center  # [S,3]
     radius = scene.sph_radius  # [S]
     a = _dot(d, d)[:, None]  # [R,1]
-    o_dot_d = _dot(o, d)[:, None]  # [R,1]
-    c_dot_d = jnp.dot(d, c.T, preferred_element_type=jnp.float32)  # [R,S]
-    b = 2.0 * (o_dot_d - c_dot_d)
-    o_dot_c = jnp.dot(o, c.T, preferred_element_type=jnp.float32)  # [R,S]
-    o_sq = _dot(o, o)[:, None]
-    c_sq = (_dot(c, c) - radius * radius)[None, :]
-    cc = o_sq - 2.0 * o_dot_c + c_sq
+    ocx = o[:, 0:1] - c[None, :, 0]  # [R,S]
+    ocy = o[:, 1:2] - c[None, :, 1]
+    ocz = o[:, 2:3] - c[None, :, 2]
+    b = 2.0 * (ocx * d[:, 0:1] + ocy * d[:, 1:2] + ocz * d[:, 2:3])
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - (radius * radius)[None, :]
     return a, b, cc
 
 
@@ -216,23 +221,29 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
             # Any-hit superleaf walk with per-lane early exit. The range
             # limit converts to an exact t_max: |o + t d - surf| = max_dist
             # solved for the positive root (same dist formula as in_range).
-            from path_tracer_tpu.ops.pallas_bvh import occluded_triangles_packet
+            from path_tracer_tpu.ops.pallas_bvh import (
+                occluded_triangles_flat,
+                occluded_triangles_packet,
+            )
             from path_tracer_tpu.ops.sorting import ray_sort_keys, sort_permutation
 
             t_max = _exact_t_max()
             if active is not None:
-                # Dead lanes occlude nothing and sort to the end so
-                # all-dead tiles exit after one node step.
+                # Dead lanes occlude nothing (t_max = -1 marker).
                 t_max = jnp.where(active, t_max, -1.0)
-            root = scene.bvh_nodes[0]
-            keys = ray_sort_keys(o, d, root[0:3], root[3:6])
-            if active is not None:
-                keys = keys | jnp.where(active, jnp.uint32(0),
-                                        jnp.uint32(1) << 31)
-            perm, inv = sort_permutation(keys)
-            occ = occluded_triangles_packet(o[perm], d[perm], t_max[perm],
-                                            scene)
-            hit = hit | occ[inv]
+            occ_fn = (occluded_triangles_flat if _use_flat_walk(scene)
+                      else occluded_triangles_packet)
+            if _device_sort():
+                root = scene.bvh_nodes[0]
+                keys = ray_sort_keys(o, d, root[0:3], root[3:6])
+                if active is not None:
+                    keys = keys | jnp.where(active, jnp.uint32(0),
+                                            jnp.uint32(1) << 31)
+                perm, inv = sort_permutation(keys)
+                occ = occ_fn(o[perm], d[perm], t_max[perm], scene)[inv]
+            else:
+                occ = occ_fn(o, d, t_max, scene)
+            hit = hit | occ
         elif _on_tpu() or getattr(scene, "use_bvh", False):
             # Nearest-hit check suffices: dist(t) is monotone in t, so if the
             # nearest hit is out of range no hit is in range.
@@ -300,6 +311,37 @@ def _on_tpu() -> bool:
         return False
 
 
+# Beyond this many superleaf blocks the [RT,B] flat slab matrix and the
+# resident triangle table outgrow their VMEM budget; fall back to the tree
+# walk. 4096 blocks = ~2M triangles at the default 512-tri block.
+FLAT_MAX_BLOCKS = 4096
+
+
+def _device_sort() -> bool:
+    """Per-cast device-side Morton ray sorting. OFF by default: the renderer
+    feeds pixel wavefronts in host-computed 16x16-screen-tile order
+    (ops/sorting.morton_pixel_order), which measured FASTER than sorted
+    wavefronts once the ~20 ms/cast sort+gather is counted. PT_DEVICE_SORT=1
+    re-enables it (e.g. for adversarially incoherent external ray sets)."""
+    import os
+
+    return os.environ.get("PT_DEVICE_SORT", "0") == "1"
+
+
+def _use_flat_walk(scene) -> bool:
+    """Flat block-visit walk vs superleaf tree walk (PT_BVH_KERNEL=tree|flat
+    overrides for A/B benchmarking)."""
+    import os
+
+    forced = os.environ.get("PT_BVH_KERNEL")
+    if forced == "tree":
+        return False
+    n = getattr(scene, "sl_n_blocks", 0)
+    if forced == "flat":
+        return n > 0
+    return 0 < n <= FLAT_MAX_BLOCKS
+
+
 def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
                                active=None) -> HitRecord:
     """Pick the triangle closest-hit implementation: Pallas on TPU (packet
@@ -313,21 +355,27 @@ def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
         t_prev = jnp.where(active, t_prev, jnp.inf)
     if _on_tpu():
         if getattr(scene, "use_bvh", False):
-            from path_tracer_tpu.ops.pallas_bvh import closest_hit_triangles_packet
+            from path_tracer_tpu.ops.pallas_bvh import (
+                closest_hit_triangles_flat,
+                closest_hit_triangles_packet,
+            )
             from path_tracer_tpu.ops.sorting import ray_sort_keys, sort_permutation
 
-            # Packet traversal cost is the per-tile union of node paths —
-            # sort rays by (origin cell, direction octant) Morton key so
-            # tiles stay coherent, then scatter results back.
-            root = scene.bvh_nodes[0]
-            keys = ray_sort_keys(o, d, root[0:3], root[3:6])
-            if active is not None:
-                keys = keys | jnp.where(active, jnp.uint32(0),
-                                        jnp.uint32(1) << 31)
-            perm, inv = sort_permutation(keys)
-            hit = closest_hit_triangles_packet(o[perm], d[perm],
-                                               t_prev[perm], scene)
-            return HitRecord(*[f[inv] for f in hit])
+            # Packet traversal cost is the per-tile union of ray needs; the
+            # renderer already feeds wavefronts in host-Morton screen-tile
+            # order, so casts run unsorted by default (_device_sort docs).
+            walk = (closest_hit_triangles_flat if _use_flat_walk(scene)
+                    else closest_hit_triangles_packet)
+            if _device_sort():
+                root = scene.bvh_nodes[0]
+                keys = ray_sort_keys(o, d, root[0:3], root[3:6])
+                if active is not None:
+                    keys = keys | jnp.where(active, jnp.uint32(0),
+                                            jnp.uint32(1) << 31)
+                perm, inv = sort_permutation(keys)
+                hit = walk(o[perm], d[perm], t_prev[perm], scene)
+                return HitRecord(*[f[inv] for f in hit])
+            return walk(o, d, t_prev, scene)
         from path_tracer_tpu.ops.pallas_intersect import closest_hit_triangles_pallas
 
         return closest_hit_triangles_pallas(o, d, t_prev, scene)

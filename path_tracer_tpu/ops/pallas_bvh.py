@@ -420,6 +420,387 @@ def _occ_launch(o_t, d_t, t_max, nodes6, meta6, tris_t, n_nodes, block,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Flat block-visit kernels: skip the node tree entirely.
+#
+# With SL_BLOCK=512 triangles per block, even a 1M-triangle scene has only
+# ~2k blocks — few enough that slab-testing EVERY block's AABB against the
+# whole ray tile is one [RT, B] vector op. The serial while-loop then runs
+# once per *hit* block (argmin-next over an any-hit vector recomputed with
+# the CURRENT best-t, so pruning is fresher than a tree walk's), instead of
+# once per visited tree node. The tree walk's cost was dominated by its
+# serial per-node scalar extraction; here the serial step count collapses to
+# the number of surviving blocks. Blocks are pre-ordered along the dominant
+# ray axis (6 orderings, scene.sl_blk6) so early visits tighten best-t and
+# prune the rest.
+# ---------------------------------------------------------------------------
+
+
+def _flat_kernel(o_ref, d_ref, tp_ref, blk6_ref, bid6_ref, tris_ref,
+                 fout_ref, iout_ref, *, bpad: int, block: int, n_tiles: int):
+    def pick_layout(dx, dy, dz):
+        sx = jnp.sum(dx)
+        sy = jnp.sum(dy)
+        sz = jnp.sum(dz)
+        ax_, ay_, az_ = jnp.abs(sx), jnp.abs(sy), jnp.abs(sz)
+        axis = jnp.where(ax_ >= jnp.maximum(ay_, az_), 0,
+                         jnp.where(ay_ >= az_, 1, 2))
+        s = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+        return 2 * axis + jnp.where(s < 0.0, 1, 0)
+
+    def tile_body(tile, _):
+        base = tile * RAY_TILE
+        ox = o_ref[0, pl.ds(base, RAY_TILE)]
+        oy = o_ref[1, pl.ds(base, RAY_TILE)]
+        oz = o_ref[2, pl.ds(base, RAY_TILE)]
+        dx = d_ref[0, pl.ds(base, RAY_TILE)]
+        dy = d_ref[1, pl.ds(base, RAY_TILE)]
+        dz = d_ref[2, pl.ds(base, RAY_TILE)]
+        t_prev = tp_ref[0, pl.ds(base, RAY_TILE)]
+        rt = RAY_TILE
+
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
+
+        layout = pick_layout(dx, dy, dz)
+        bmn0 = blk6_ref[layout, 0, :][None, :]  # [1,B]
+        bmn1 = blk6_ref[layout, 1, :][None, :]
+        bmn2 = blk6_ref[layout, 2, :][None, :]
+        bmx0 = blk6_ref[layout, 3, :][None, :]
+        bmx1 = blk6_ref[layout, 4, :][None, :]
+        bmx2 = blk6_ref[layout, 5, :][None, :]
+        bids = bid6_ref[layout, 0, :][None, :]  # [1,B] i32
+
+        def rc(a):  # ray column [RT,1]
+            return a[:, None]
+
+        # Slab test: all rays x all blocks in one shot.
+        t0x = (bmn0 - rc(ox)) * rc(inv_dx)
+        t1x = (bmx0 - rc(ox)) * rc(inv_dx)
+        t0y = (bmn1 - rc(oy)) * rc(inv_dy)
+        t1y = (bmx1 - rc(oy)) * rc(inv_dy)
+        t0z = (bmn2 - rc(oz)) * rc(inv_dz)
+        t1z = (bmx2 - rc(oz)) * rc(inv_dz)
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z))  # [RT,B]
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z))
+        # bids < 0 marks pad columns (their zero bounds would otherwise slab-
+        # pass for rays crossing the origin; inverted-inf bounds ALSO pass —
+        # min/max reorders the infinities — so masking by id is the only
+        # reliable pad exclusion).
+        hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0))
+                         & (tf > rc(t_prev)) & (bids >= 0), 1.0, 0.0)  # [RT,B]
+
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
+
+        def visit_block(block_id, best):
+            """Dense [RT, block] MT over one superleaf block."""
+            bt, bi, bu, bv, bb = best
+            start = pl.multiple_of(block_id * block, 128)
+            tri = tris_ref[:, pl.ds(start, block)]  # [9, B]
+
+            def tr(c):  # triangle row [1,B]
+                return tri[c, :][None, :]
+
+            pvx = rc(dy) * tr(8) - rc(dz) * tr(7)
+            pvy = rc(dz) * tr(6) - rc(dx) * tr(8)
+            pvz = rc(dx) * tr(7) - rc(dy) * tr(6)
+            det = tr(3) * pvx + tr(4) * pvy + tr(5) * pvz
+            ok = jnp.abs(det) >= DET_EPS
+            invdet = 1.0 / jnp.where(ok, det, 1.0)
+
+            tvx = rc(ox) - tr(0)
+            tvy = rc(oy) - tr(1)
+            tvz = rc(oz) - tr(2)
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
+            ok &= (u >= 0.0) & (u <= 1.0)
+
+            qvx = tvy * tr(5) - tvz * tr(4)
+            qvy = tvz * tr(3) - tvx * tr(5)
+            qvz = tvx * tr(4) - tvy * tr(3)
+            v = (rc(dx) * qvx + rc(dy) * qvy + rc(dz) * qvz) * invdet
+            ok &= (v >= 0.0) & (u + v <= 1.0)
+
+            t = (tr(6) * qvx + tr(7) * qvy + tr(8) * qvz) * invdet
+            ok &= (t >= T_MIN) & (t > rc(t_prev))
+
+            t = jnp.where(ok, t, jnp.inf)
+            tmin = jnp.min(t, axis=1)  # [RT]
+            col = jnp.argmin(t, axis=1).astype(jnp.int32)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (rt, block), 1)
+            sel = lanes == col[:, None]
+
+            def pick(arr2d):
+                return jnp.sum(jnp.where(sel, arr2d, 0.0), axis=1)
+
+            better = tmin < bt
+            bt = jnp.where(better, tmin, bt)
+            bi = jnp.where(better, start + col, bi)
+            bu = jnp.where(better, pick(u), bu)
+            bv = jnp.where(better, pick(v), bv)
+            bb = jnp.where(better, jnp.where(pick(det) < 0.0, 1.0, 0.0), bb)
+            return bt, bi, bu, bv, bb
+
+        def next_hit(cur, bt):
+            """First ordered column after `cur` still hit under current bt."""
+            live = hit0 * jnp.where(tn <= rc(bt), 1.0, 0.0)  # [RT,B]
+            anyhit = jnp.max(live, axis=0, keepdims=True)  # [1,B]
+            cand = jnp.where((anyhit > 0.0) & (iota_b > cur), iota_b, bpad)
+            return jnp.min(cand)
+
+        def cond(state):
+            return state[0] < bpad
+
+        def body(state):
+            cur, bt, bi, bu, bv, bb = state
+            bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
+            best = visit_block(bid, (bt, bi, bu, bv, bb))
+            bt = best[0]
+            nxt = next_hit(cur, bt)
+            return (nxt, *best)
+
+        bt0 = jnp.full((rt,), jnp.inf, jnp.float32)
+        first = next_hit(jnp.int32(-1), bt0)
+        init = (
+            first,
+            bt0,
+            jnp.full((rt,), -1, jnp.int32),
+            jnp.zeros((rt,), jnp.float32),
+            jnp.zeros((rt,), jnp.float32),
+            jnp.zeros((rt,), jnp.float32),
+        )
+        _, bt, bi, bu, bv, bb = jax.lax.while_loop(cond, body, init)
+
+        fout_ref[0, pl.ds(base, RAY_TILE)] = bt
+        fout_ref[1, pl.ds(base, RAY_TILE)] = bu
+        fout_ref[2, pl.ds(base, RAY_TILE)] = bv
+        fout_ref[3, pl.ds(base, RAY_TILE)] = bb
+        iout_ref[0, pl.ds(base, RAY_TILE)] = bi
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("bpad", "block", "interpret"))
+def _flat_launch(o_t, d_t, t_prev, blk6, bid6, tris_t, bpad, block,
+                 interpret=False):
+    r = o_t.shape[1]
+    n_tiles = r // RAY_TILE
+    kernel = functools.partial(_flat_kernel, bpad=bpad, block=block,
+                               n_tiles=n_tiles)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    fout, iout = pl.pallas_call(
+        kernel,
+        in_specs=[vm(), vm(), vm(), vm(), vm(), vm()],
+        out_specs=[vm(), vm()],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o_t, d_t, t_prev, blk6, bid6, tris_t)
+    return fout, iout
+
+
+def closest_hit_triangles_flat(o, d, t_prev, scene,
+                               interpret=False) -> HitRecord:
+    """Flat block-visit closest hit (pads rays to RAY_TILE)."""
+    r = o.shape[0]
+    r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+
+    def pad(x, fill=0.0):
+        if r_pad == r:
+            return x
+        cfg = [(0, r_pad - r)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    o_t = pad(o).T
+    d_t = pad(d, 1.0).T
+    tp = pad(t_prev, jnp.inf)[None, :]  # padded lanes can never hit
+
+    fout, iout = _flat_launch(o_t, d_t, tp, scene.sl_blk6, scene.sl_blkid6,
+                              scene.sl_tris_t, scene.sl_blk6.shape[2],
+                              scene.sl_block, interpret=interpret)
+    bt = fout[0, :r]
+    kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
+    packed = iout[0, :r]
+    prim = scene.sl_map[jnp.maximum(packed, 0)]
+    return HitRecord(
+        t=bt,
+        kind=kind,
+        prim=jnp.where(packed >= 0, prim, -1),
+        u=fout[1, :r],
+        v=fout[2, :r],
+        backface=fout[3, :r] != 0.0,
+    )
+
+
+def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk6_ref, bid6_ref, tris_ref,
+                     out_ref, *, bpad: int, block: int, n_tiles: int):
+    def pick_layout(dx, dy, dz):
+        sx = jnp.sum(dx)
+        sy = jnp.sum(dy)
+        sz = jnp.sum(dz)
+        ax_, ay_, az_ = jnp.abs(sx), jnp.abs(sy), jnp.abs(sz)
+        axis = jnp.where(ax_ >= jnp.maximum(ay_, az_), 0,
+                         jnp.where(ay_ >= az_, 1, 2))
+        s = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+        return 2 * axis + jnp.where(s < 0.0, 1, 0)
+
+    def tile_body(tile, _):
+        base = tile * RAY_TILE
+        ox = o_ref[0, pl.ds(base, RAY_TILE)]
+        oy = o_ref[1, pl.ds(base, RAY_TILE)]
+        oz = o_ref[2, pl.ds(base, RAY_TILE)]
+        dx = d_ref[0, pl.ds(base, RAY_TILE)]
+        dy = d_ref[1, pl.ds(base, RAY_TILE)]
+        dz = d_ref[2, pl.ds(base, RAY_TILE)]
+        t_max = tmax_ref[0, pl.ds(base, RAY_TILE)]
+
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
+
+        layout = pick_layout(dx, dy, dz)
+        bmn0 = blk6_ref[layout, 0, :][None, :]
+        bmn1 = blk6_ref[layout, 1, :][None, :]
+        bmn2 = blk6_ref[layout, 2, :][None, :]
+        bmx0 = blk6_ref[layout, 3, :][None, :]
+        bmx1 = blk6_ref[layout, 4, :][None, :]
+        bmx2 = blk6_ref[layout, 5, :][None, :]
+        bids = bid6_ref[layout, 0, :][None, :]
+
+        def rc(a):
+            return a[:, None]
+
+        t0x = (bmn0 - rc(ox)) * rc(inv_dx)
+        t1x = (bmx0 - rc(ox)) * rc(inv_dx)
+        t0y = (bmn1 - rc(oy)) * rc(inv_dy)
+        t1y = (bmx1 - rc(oy)) * rc(inv_dy)
+        t0z = (bmn2 - rc(oz)) * rc(inv_dz)
+        t1z = (bmx2 - rc(oz)) * rc(inv_dz)
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z))
+        # Dead lanes (t_max = -1) fail tn <= t_max for tn >= 0; tn < 0 with
+        # tf >= max(tn,0) means origin inside the box — still a candidate
+        # only when t_max >= 0 (occludable lane).
+        hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0))
+                         & (tn <= rc(t_max)) & (rc(t_max) >= 0.0)
+                         & (bids >= 0),
+                         1.0, 0.0)  # [RT,B]
+
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
+
+        def visit_block(block_id, occ):
+            start = pl.multiple_of(block_id * block, 128)
+            tri = tris_ref[:, pl.ds(start, block)]
+
+            def tr(c):
+                return tri[c, :][None, :]
+
+            pvx = rc(dy) * tr(8) - rc(dz) * tr(7)
+            pvy = rc(dz) * tr(6) - rc(dx) * tr(8)
+            pvz = rc(dx) * tr(7) - rc(dy) * tr(6)
+            det = tr(3) * pvx + tr(4) * pvy + tr(5) * pvz
+            ok = jnp.abs(det) >= DET_EPS
+            invdet = 1.0 / jnp.where(ok, det, 1.0)
+
+            tvx = rc(ox) - tr(0)
+            tvy = rc(oy) - tr(1)
+            tvz = rc(oz) - tr(2)
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
+            ok &= (u >= 0.0) & (u <= 1.0)
+
+            qvx = tvy * tr(5) - tvz * tr(4)
+            qvy = tvz * tr(3) - tvx * tr(5)
+            qvz = tvx * tr(4) - tvy * tr(3)
+            v = (rc(dx) * qvx + rc(dy) * qvy + rc(dz) * qvz) * invdet
+            ok &= (v >= 0.0) & (u + v <= 1.0)
+
+            t = (tr(6) * qvx + tr(7) * qvy + tr(8) * qvz) * invdet
+            ok &= (t >= T_MIN) & (t <= rc(t_max))
+
+            hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1)  # [RT]
+            return jnp.maximum(occ, hit)
+
+        def next_hit(cur, occ):
+            live = hit0 * jnp.where(rc(occ) < 1.0, 1.0, 0.0)
+            anyhit = jnp.max(live, axis=0, keepdims=True)
+            cand = jnp.where((anyhit > 0.0) & (iota_b > cur), iota_b, bpad)
+            return jnp.min(cand)
+
+        def cond(state):
+            return state[0] < bpad
+
+        def body(state):
+            cur, occ = state
+            bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
+            occ = visit_block(bid, occ)
+            nxt = next_hit(cur, occ)
+            return (nxt, occ)
+
+        occ0 = jnp.where(t_max < 0.0, 1.0, 0.0)  # dead lanes start occluded
+        first = next_hit(jnp.int32(-1), occ0)
+        _, occ = jax.lax.while_loop(cond, body, (first, occ0))
+        out_ref[0, pl.ds(base, RAY_TILE)] = occ
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("bpad", "block", "interpret"))
+def _flat_occ_launch(o_t, d_t, t_max, blk6, bid6, tris_t, bpad, block,
+                     interpret=False):
+    r = o_t.shape[1]
+    n_tiles = r // RAY_TILE
+    kernel = functools.partial(_flat_occ_kernel, bpad=bpad, block=block,
+                               n_tiles=n_tiles)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    (out,) = pl.pallas_call(
+        kernel,
+        in_specs=[vm(), vm(), vm(), vm(), vm(), vm()],
+        out_specs=[vm()],
+        out_shape=[jax.ShapeDtypeStruct((1, r), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o_t, d_t, t_max, blk6, bid6, tris_t)
+    return out
+
+
+def occluded_triangles_flat(o, d, t_max, scene, interpret=False):
+    """[R] bool any-hit via the flat block-visit walk."""
+    r = o.shape[0]
+    r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+
+    def pad(x, fill=0.0):
+        if r_pad == r:
+            return x
+        cfg = [(0, r_pad - r)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    o_t = pad(o).T
+    d_t = pad(d, 1.0).T
+    tm = pad(t_max, -1.0)[None, :]  # padded lanes occlude nothing
+
+    out = _flat_occ_launch(o_t, d_t, tm, scene.sl_blk6, scene.sl_blkid6,
+                           scene.sl_tris_t, scene.sl_blk6.shape[2],
+                           scene.sl_block, interpret=interpret)
+    return out[0, :r] > 0.0
+
+
 def occluded_triangles_packet(o, d, t_max, scene, interpret=False):
     """[R] bool: any triangle hit with T_MIN <= t <= t_max (any-hit walk
     with per-lane early exit)."""

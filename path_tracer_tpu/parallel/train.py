@@ -33,6 +33,11 @@ PARAM_FIELDS = (
     "dir_color",
     "background",
     "cam_to_world",
+    # The full texture atlas [P,3]: the nearest-neighbor fetch is a gather,
+    # whose transpose is a scatter-add into the atlas — per-texel gradients
+    # for every albedo/emissive/opacity/metalness/roughness/normal texture
+    # (FD-gated by tests/test_gradients.py::test_texture_texel_grad...).
+    "tex_data",
 )
 
 

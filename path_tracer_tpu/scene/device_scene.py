@@ -137,6 +137,14 @@ class DeviceScene:
     sl_meta6: jax.Array  # [6, 2, Nsl] i32 (skip, block_id+1; 0 = internal)
     sl_tris_t: jax.Array  # [9, n_blocks*512] f32, block-aligned windows
     sl_map: jax.Array  # [n_blocks*512] i32 packed->global prim id (pad: 0)
+    # FLAT per-block tables for the windowed flat-visit kernel: with a few
+    # hundred superleaf blocks, slab-testing EVERY block bound against the
+    # whole ray tile is one [RT,B] vector op — cheaper than walking a node
+    # tree serially. Six orderings (axis*2+neg) sort blocks by bbox center
+    # along the dominant ray axis for approximate front-to-back pruning.
+    sl_blk6: jax.Array  # [6, 8, Bpad] f32 (mn.xyz, mx.xyz, 2 pad; pad cols
+    #                     have mn=+inf so they never pass a slab test)
+    sl_blkid6: jax.Array  # [6, 1, Bpad] i32 block id per ordered column
     # Lane-major sphere table [4, S_pad] = (cx, cy, cz, r), padded to a
     # 128-lane multiple with guaranteed-miss spheres, for the fused Pallas
     # sphere kernel (ops/pallas_spheres.py).
@@ -175,6 +183,7 @@ class DeviceScene:
     # Superleaf-BVH statics: real node count and the block size.
     sl_n_nodes: int = dataclasses.field(metadata=dict(static=True), default=1)
     sl_block: int = dataclasses.field(metadata=dict(static=True), default=512)
+    sl_n_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
     use_bvh: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
@@ -403,7 +412,28 @@ def build_device_scene(scene: isf.Scene, root,
         sl_nodes6, sl_meta6 = build_directional_layouts(
             sl.node_min, sl.node_max, sl.prim_count, sl.skip, meta_leaf
         )
+        # Flat per-block tables (six centroid orderings) for the flat-visit
+        # kernel: block bounds are the superleaf tree's leaf bounds.
+        blk_min = sl.node_min[leaf_nodes]
+        blk_max = sl.node_max[leaf_nodes]
+        blk_center = (blk_min + blk_max) * 0.5
+        b_pad = ((n_blocks + 127) // 128) * 128
+        sl_blk6 = np.zeros((6, 8, b_pad), np.float32)
+        # NOTE: inverted-inf bounds do NOT fail a slab test (min/max reorders
+        # the infinities into an always-pass interval) — pad columns are
+        # excluded via block id -1 instead, masked in the kernels.
+        sl_blkid6 = np.full((6, 1, b_pad), -1, np.int32)
+        for axis in range(3):
+            for neg in (0, 1):
+                li = axis * 2 + neg
+                order = np.argsort(blk_center[:, axis])
+                if neg:
+                    order = order[::-1]
+                sl_blk6[li, 0:3, :n_blocks] = blk_min[order].T
+                sl_blk6[li, 3:6, :n_blocks] = blk_max[order].T
+                sl_blkid6[li, 0, :n_blocks] = order
     else:
+        n_blocks = 0
         nsl = 1
         sl_nodes6 = np.zeros((6, 8, 128), np.float32)
         sl_nodes6[:, 0:3, 0] = np.inf
@@ -412,6 +442,8 @@ def build_device_scene(scene: isf.Scene, root,
         sl_meta6[:, 0, 0] = 1
         sl_tris = np.zeros((SL_BLOCK, 9), np.float32)
         sl_map = np.zeros(SL_BLOCK, np.int32)
+        sl_blk6 = np.zeros((6, 8, 128), np.float32)
+        sl_blkid6 = np.full((6, 1, 128), -1, np.int32)
 
     # Spheres padded to >= 1 with a guaranteed-miss entry (center at 1e30 so
     # the quadratic discriminant is hugely negative for any practical ray).
@@ -496,6 +528,8 @@ def build_device_scene(scene: isf.Scene, root,
         sl_meta6=jnp.asarray(sl_meta6),
         sl_tris_t=jnp.asarray(np.ascontiguousarray(sl_tris.T)),
         sl_map=jnp.asarray(sl_map),
+        sl_blk6=jnp.asarray(sl_blk6),
+        sl_blkid6=jnp.asarray(sl_blkid6),
         sph_packed_t=jnp.asarray(_pack_spheres(centers, radii)),
         no_textures=len(atlas.offsets) == 1,
         num_real_triangles=n_tris,
@@ -504,6 +538,7 @@ def build_device_scene(scene: isf.Scene, root,
         bvh_n_nodes=nn,
         sl_n_nodes=nsl,
         sl_block=SL_BLOCK,
+        sl_n_blocks=n_blocks,
         # Measured on TPU v5e (64k rays): the fused brute-force kernel wins
         # small scenes; the superleaf packet kernel wins large ones (100k-tri
         # showcase: 31x on Morton-sorted camera rays, never worse on

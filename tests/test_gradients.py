@@ -120,6 +120,61 @@ def test_light_position_grad_matches_fd(scene):
     _fd_check(scene, "point_pos", bounces=0, eps=2e-3, rtol=5e-2)
 
 
+def test_camera_transform_grad_matches_fd(scene):
+    """cam_to_world moves ray origins/directions — continuous through
+    generate_rays and the shading terms. Pixels whose rays cross geometry
+    EDGES under the eps perturbation carry a boundary term the detached
+    estimator cannot see (the documented geometry-moving-parameter bias), so
+    the loss weights only interior pixels that stay on one smooth wall."""
+    value = scene.cam_to_world
+    spec = IntegratorSpec(bounces=0, alpha_walk_steps=2, shadow_walk_steps=2,
+                          tri_block=256)
+    # Center 4x4 pixels: the Cornell back wall, eps-stable.
+    wgt = np.zeros((H, W, 3), np.float32)
+    wgt[H // 2 - 2 : H // 2 + 2, W // 2 - 2 : W // 2 + 2] = \
+        (np.arange(48) % 5 + 1).reshape(4, 4, 3)
+    wgt = jnp.asarray(wgt.reshape(-1, 3))
+
+    def loss(v):
+        s = dataclasses.replace(scene, cam_to_world=v)
+        rad = render_wavefront(s, IDS, W, H, jnp.int32(1), spec)
+        return jnp.sum(rad * wgt)
+
+    grad = np.asarray(jax.grad(loss)(value), np.float64)
+    eps = 1e-3
+    checked = 0
+    order = np.argsort(np.abs(grad).ravel())[::-1][:3]
+    for lin in order:
+        idx = np.unravel_index(lin, grad.shape)
+        if abs(grad[idx]) < 1e-3:
+            continue
+        basis = jnp.zeros_like(value).at[idx].set(1.0)
+        fd = (float(loss(value + eps * basis))
+              - float(loss(value - eps * basis))) / (2 * eps)
+        assert fd == pytest.approx(grad[idx], rel=5e-2), \
+            f"cam_to_world{idx}: analytic {grad[idx]} vs FD {fd}"
+        checked += 1
+    assert checked >= 2
+
+
+def test_texture_texel_grad_matches_fd(reference_scenes):
+    """Gradients flow through the texture-atlas gather: FD-check an albedo
+    texel of the alpha_transparency scene's checkerboard (SURVEY §7 mandates
+    texture-parameter gradients, not just factors)."""
+    from path_tracer_tpu.scene import load_scene
+
+    tex_scene = load_scene(
+        reference_scenes / "alpha_transparency" / "scene.isf")
+    assert not tex_scene.no_textures
+    _fd_check(tex_scene, "tex_data", bounces=1, eps=2e-3, rtol=5e-2)
+
+
+def test_tex_data_is_trainable(reference_scenes):
+    from path_tracer_tpu.parallel.train import PARAM_FIELDS
+
+    assert "tex_data" in PARAM_FIELDS
+
+
 def test_tonemap_formulas():
     """Tonemap operators match the reference formulas exactly
     (ref: src/renderer/tonemap.rs:23-54)."""

@@ -1,0 +1,91 @@
+"""Flat block-visit kernel parity vs the fixture-gated jnp brute force.
+
+The flat walk (ops/pallas_bvh.py closest_hit_triangles_flat /
+occluded_triangles_flat) slab-tests every superleaf block against the ray
+tile and visits only surviving blocks; results must be hit-for-hit identical
+to ops.intersect.closest_hit_triangles (itself gated on the reference's
+6,024 MT fixtures). Runs in interpreter mode on CPU; the compiled path is
+exercised on TPU by tests/tools/tpu_kernel_check.py and bench/CLI.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def head_scene(reference_scenes):
+    from path_tracer_tpu.scene import load_scene
+
+    return load_scene(reference_scenes / "head" / "scene.isf")
+
+
+def _rays(scene, r, seed):
+    rng = np.random.default_rng(seed)
+    lo = np.asarray(scene.tri_v0).min(axis=0)
+    hi = np.asarray(scene.tri_v0).max(axis=0)
+    c = (lo + hi) / 2
+    o = rng.uniform(-1.5, 1.5, (r, 3)).astype(np.float32) + c \
+        + np.array([0, 0, 3], np.float32)
+    tgt = rng.uniform(lo, hi, (r, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_flat_closest_hit_matches_brute(head_scene):
+    from path_tracer_tpu.ops.intersect import closest_hit_triangles
+    from path_tracer_tpu.ops.pallas_bvh import closest_hit_triangles_flat
+
+    assert head_scene.sl_n_blocks > 1
+    r = 512
+    o, d = _rays(head_scene, r, 3)
+    for t_prev in (-1.0, 0.5):
+        tp = jnp.full((r,), t_prev, jnp.float32)
+        brute = closest_hit_triangles(o, d, tp, head_scene, block=512)
+        flat = closest_hit_triangles_flat(o, d, tp, head_scene,
+                                          interpret=True)
+        assert float(jnp.mean(brute.valid)) > 0.5
+        np.testing.assert_array_equal(np.asarray(brute.kind),
+                                      np.asarray(flat.kind))
+        np.testing.assert_array_equal(np.asarray(brute.prim),
+                                      np.asarray(flat.prim))
+        np.testing.assert_allclose(np.asarray(brute.t), np.asarray(flat.t),
+                                   rtol=1e-5, atol=1e-6)
+        # u/v recompute through a different lane layout ([9,B] component rows
+        # vs [T,3] dots) — identical formula, different fp association, so
+        # ~1-ulp-amplified-by-invdet noise is expected.
+        np.testing.assert_allclose(np.asarray(brute.u), np.asarray(flat.u),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(brute.v), np.asarray(flat.v),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(brute.backface),
+                                      np.asarray(flat.backface))
+
+
+def test_flat_occlusion_matches_brute(head_scene):
+    from path_tracer_tpu.ops.intersect import closest_hit_triangles
+    from path_tracer_tpu.ops.pallas_bvh import occluded_triangles_flat
+
+    r = 512
+    o, d = _rays(head_scene, r, 4)
+    tp = jnp.full((r,), -1.0, jnp.float32)
+    brute = closest_hit_triangles(o, d, tp, head_scene, block=512)
+    # t_max just above the closest hit -> occluded exactly when there is a
+    # hit; just below -> never occluded by that hit (and the closest hit is
+    # the only one at <= t*0.99 iff none nearer, which brute guarantees).
+    t = np.asarray(brute.t)
+    above = jnp.asarray(np.where(np.isfinite(t), t * 1.01, 50.0)
+                        .astype(np.float32))
+    occ = occluded_triangles_flat(o, d, above, head_scene, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ), t <= np.asarray(above))
+    below = jnp.asarray(np.where(np.isfinite(t), t * 0.99, 50.0)
+                        .astype(np.float32))
+    occ2 = occluded_triangles_flat(o, d, below, head_scene, interpret=True)
+    ref2 = t <= np.asarray(below)
+    np.testing.assert_array_equal(np.asarray(occ2), ref2)
+
+    # Dead lanes (t_max = -1) report "occluded"; callers mask them (the
+    # integrator zeroes att0 on dead lanes before any occlusion result).
+    dead = above.at[:64].set(-1.0)
+    occ3 = occluded_triangles_flat(o, d, dead, head_scene, interpret=True)
+    assert np.asarray(occ3)[:64].all()
