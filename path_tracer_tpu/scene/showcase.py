@@ -137,8 +137,8 @@ def showcase_scene(grid: int = 224, seed: int = 7) -> isf.Scene:
                      background=(0.35, 0.45, 0.65))
 
 
-def showcase_device_scene(grid: int = 224, use_bvh=None):
+def showcase_device_scene(grid: int = 224, use_bvh=None, sl_block: int = 512):
     from path_tracer_tpu.scene.device_scene import build_device_scene
 
     return build_device_scene(showcase_scene(grid), root=".",
-                              use_bvh=use_bvh)
+                              use_bvh=use_bvh, sl_block=sl_block)
