@@ -1,0 +1,81 @@
+"""2-process jax.distributed exercise of the multi-host path.
+
+Launches two real OS processes (2 virtual CPU devices each -> a 4-device
+global mesh), has each run the sharded renderer + one DP train step through
+parallel/multihost.py, and asserts: (a) both report the identical psum'd
+loss, (b) the assembled multi-process image equals a single-process render
+bit-for-bit (the counter RNG is layout-invariant), (c) parameter updates
+moved identically on both processes.
+"""
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+WORKER = Path(__file__).parent / "tools" / "multihost_worker.py"
+
+
+def test_two_process_distributed(tmp_path):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    outs = [tmp_path / f"proc{i}.npz" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(i), "2", str(port), str(outs[i])],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        logs.append(out)
+    assert all(p.returncode == 0 for p in procs), \
+        f"worker failed:\n{logs[0]}\n---\n{logs[1]}"
+
+    z0 = np.load(outs[0])
+    z1 = np.load(outs[1])
+    # Same global psum loss on both processes.
+    np.testing.assert_array_equal(z0["loss"], z1["loss"])
+    assert float(z0["loss"]) > 0.0
+    # Identical replicated parameter update on both processes.
+    np.testing.assert_array_equal(z0["albedo_grad_moved"],
+                                  z1["albedo_grad_moved"])
+    assert np.abs(z0["albedo_grad_moved"]).max() > 0.0
+
+    # Assemble the distributed render and compare to single-process.
+    rows = {}
+    for z in (z0, z1):
+        for k in z.files:
+            if k.startswith("rows_"):
+                rows[int(k[5:])] = z[k]
+    img = np.concatenate([rows[k] for k in sorted(rows)], axis=0)
+
+    import jax
+
+    from path_tracer_tpu.models.integrator import IntegratorSpec
+    from path_tracer_tpu.models.renderer import render_pixel_sums
+    from path_tracer_tpu.scene.procedural import cornell_device_scene
+
+    spec = IntegratorSpec(bounces=1, alpha_walk_steps=2, shadow_walk_steps=2,
+                          tri_block=256)
+    # render_pixel_sums feeds Morton order internally; compare via the raw
+    # wavefront instead (same pixel-id order as the workers).
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.models.integrator import render_wavefront
+
+    scene = cornell_device_scene()
+    ids = jnp.arange(16 * 16, dtype=jnp.int32)
+    ref = np.asarray(render_wavefront(scene, ids, 16, 16, jnp.int32(1), spec))
+    np.testing.assert_array_equal(img, ref)
