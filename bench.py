@@ -62,7 +62,9 @@ def main() -> None:
 
         scene = sphere_grid_device_scene()
 
-    spec = IntegratorSpec(bounces=BOUNCES)
+    # PT_COMPACT=1 A/B: live-ray compaction between bounces (PERF.md).
+    spec = IntegratorSpec(bounces=BOUNCES,
+                          compact=os.environ.get("PT_COMPACT") == "1")
     n_pix = WIDTH * HEIGHT
 
     def run(n_samples: int, sample_start: int):

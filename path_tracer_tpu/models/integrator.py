@@ -66,6 +66,13 @@ class IntegratorSpec:
     shadow_walk_steps: int = 8
     seed: int = 0
     tri_block: int = 512
+    # Live-ray compaction between bounces (SURVEY §2c experiment): partition
+    # every wavefront array alive-first before each bounce so dead lanes
+    # cluster into all-dead tiles. Measured on the showcase: the partition's
+    # argsort + gathers cost more than dead-lane masking saves (the flat
+    # kernels already early-exit all-dead tiles), so this defaults OFF —
+    # see PERF.md "compaction experiment".
+    compact: bool = False
 
 
 class Surface(NamedTuple):
@@ -354,9 +361,17 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
     # would multiply XLA program size by bounces+1). ``bounce`` is traced:
     # last-bounce/RR behavior is masked, and rng sites offset by it.
     def bounce_body(carry, bounce):
-        o, d, color, throughput, alive = carry
+        if spec.compact:
+            o, d, color, throughput, alive, pix, orig = carry
+            perm = jnp.argsort(~alive)  # stable: alive lanes first
+            o, d, color, throughput, alive, pix, orig = (
+                o[perm], d[perm], color[perm], throughput[perm],
+                alive[perm], pix[perm], orig[perm])
+        else:
+            o, d, color, throughput, alive = carry
+            pix = pixel_ids
         sel, seen_any, first_missed = _alpha_walk(
-            scene, o, d, alive, pixel_ids, sample_id, bounce, spec, alpha_steps
+            scene, o, d, alive, pix, sample_id, bounce, spec, alpha_steps
         )
 
         # Background: only rays whose first cast this bounce missed everything.
@@ -374,11 +389,22 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
 
         shadow_o = surf.pos + surf.geom_normal * NORMAL_BIAS
 
+        # With no emissive anywhere, a lane facing AWAY from a light
+        # contributes exactly zero (both BRDF terms carry max(n.l, 0) and
+        # the emissive-in-eval_direct quirk term vanishes) — skip its shadow
+        # cast. On closed geometry this kills ~half the lanes per light and
+        # whole Morton tiles exit the occlusion walk immediately.
+        def shadow_active(l_dir):
+            if not scene.no_emissive:
+                return alive
+            return alive & (_dot(surf.normal, l_dir) > 0.0)
+
         # Directional lights (mod.rs:283-299): static python loop.
         for li in range(scene.num_dir_lights):
             ldir = scene.dir_dir[li]  # raw, possibly unnormalized — as in ref
             radiance = _shadow_attenuation(
-                scene, shadow_o, jnp.broadcast_to(-ldir, d.shape), alive,
+                scene, shadow_o, jnp.broadcast_to(-ldir, d.shape),
+                shadow_active(jnp.broadcast_to(-ldir, d.shape)),
                 scene.dir_color[li], spec, shadow_steps,
             )
             lit = alive & (jnp.sum(radiance, axis=-1) != 0.0)  # skip zero lights
@@ -395,7 +421,8 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
             ldir = to_surf / dist[:, None]  # light → surface
             dissipated = scene.point_color[li] / (4.0 * PI * dist * dist)[:, None]
             radiance = _shadow_attenuation(
-                scene, shadow_o, -ldir, alive, 1.0, spec, shadow_steps,
+                scene, shadow_o, -ldir, shadow_active(-ldir), 1.0, spec,
+                shadow_steps,
                 point_dist=dist, surf_pos=surf.pos,
                 orig_model_uv=(surf.uv, surf.simple),
             ) * dissipated
@@ -407,9 +434,9 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
         # Indirect bounce (mod.rs:264-275), masked out on the last bounce
         # (ref passes compute_indirect = bounce < bounces, mod.rs:216).
         indirect = alive & (bounce < spec.bounces)
-        r1 = rng.uniform(pixel_ids, sample_id,
+        r1 = rng.uniform(pix, sample_id,
                          rng.SITE_GGX_R1 + rng.SITE_STRIDE * bounce, spec.seed)
-        r2 = rng.uniform(pixel_ids, sample_id,
+        r2 = rng.uniform(pix, sample_id,
                          rng.SITE_GGX_R2 + rng.SITE_STRIDE * bounce, spec.seed)
         new_d, wm = brdf.sample(mat, surf.normal, view, r1, r2)
         # Detached sampling: gradients flow through eval_indirect's explicit
@@ -437,12 +464,21 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
         p_safe = jnp.where(rr, jnp.maximum(p, 1e-30), 1.0)
         throughput = jnp.where(rr[:, None], throughput / p_safe[:, None],
                                throughput)
-        rnd = rng.uniform(pixel_ids, sample_id,
+        rnd = rng.uniform(pix, sample_id,
                           rng.SITE_RR + rng.SITE_STRIDE * bounce, spec.seed)
         alive = alive & ~(rr & (rnd > p))
 
+        if spec.compact:
+            return (o, d, color, throughput, alive, pix, orig), None
         return (o, d, color, throughput, alive), None
 
+    if spec.compact:
+        orig0 = jnp.arange(r, dtype=jnp.int32)
+        init = (o, d, color, throughput, alive, pixel_ids, orig0)
+        (_, _, color, _, _, _, orig), _ = jax.lax.scan(
+            bounce_body, init, jnp.arange(spec.bounces + 1, dtype=jnp.int32)
+        )
+        return jnp.zeros_like(color).at[orig].set(color)
     init = (o, d, color, throughput, alive)
     (o, d, color, throughput, alive), _ = jax.lax.scan(
         bounce_body, init, jnp.arange(spec.bounces + 1, dtype=jnp.int32)

@@ -436,18 +436,8 @@ def _occ_launch(o_t, d_t, t_max, nodes6, meta6, tris_t, n_nodes, block,
 # ---------------------------------------------------------------------------
 
 
-def _flat_kernel(o_ref, d_ref, tp_ref, blk6_ref, bid6_ref, tris_ref,
+def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, tris_ref,
                  fout_ref, iout_ref, *, bpad: int, block: int, n_tiles: int):
-    def pick_layout(dx, dy, dz):
-        sx = jnp.sum(dx)
-        sy = jnp.sum(dy)
-        sz = jnp.sum(dz)
-        ax_, ay_, az_ = jnp.abs(sx), jnp.abs(sy), jnp.abs(sz)
-        axis = jnp.where(ax_ >= jnp.maximum(ay_, az_), 0,
-                         jnp.where(ay_ >= az_, 1, 2))
-        s = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
-        return 2 * axis + jnp.where(s < 0.0, 1, 0)
-
     def tile_body(tile, _):
         base = tile * RAY_TILE
         ox = o_ref[0, pl.ds(base, RAY_TILE)]
@@ -463,14 +453,13 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk6_ref, bid6_ref, tris_ref,
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
 
-        layout = pick_layout(dx, dy, dz)
-        bmn0 = blk6_ref[layout, 0, :][None, :]  # [1,B]
-        bmn1 = blk6_ref[layout, 1, :][None, :]
-        bmn2 = blk6_ref[layout, 2, :][None, :]
-        bmx0 = blk6_ref[layout, 3, :][None, :]
-        bmx1 = blk6_ref[layout, 4, :][None, :]
-        bmx2 = blk6_ref[layout, 5, :][None, :]
-        bids = bid6_ref[layout, 0, :][None, :]  # [1,B] i32
+        bmn0 = blk_ref[0, :][None, :]  # [1,B]
+        bmn1 = blk_ref[1, :][None, :]
+        bmn2 = blk_ref[2, :][None, :]
+        bmx0 = blk_ref[3, :][None, :]
+        bmx1 = blk_ref[4, :][None, :]
+        bmx2 = blk_ref[5, :][None, :]
+        bids = bid_ref[0, :][None, :]  # [1,B] i32
 
         def rc(a):  # ray column [RT,1]
             return a[:, None]
@@ -494,6 +483,11 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk6_ref, bid6_ref, tris_ref,
         # reliable pad exclusion).
         hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0))
                          & (tf > rc(t_prev)) & (bids >= 0), 1.0, 0.0)  # [RT,B]
+        # Per-tile front-to-back priority: each block's minimum slab entry
+        # over the tile's rays. Visiting in THIS order (not the global
+        # centroid order) tightens best-t fastest, so later blocks prune.
+        tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
+                         keepdims=True)  # [1,B]
 
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
 
@@ -545,35 +539,42 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk6_ref, bid6_ref, tris_ref,
             bb = jnp.where(better, jnp.where(pick(det) < 0.0, 1.0, 0.0), bb)
             return bt, bi, bu, bv, bb
 
-        def next_hit(cur, bt):
-            """First ordered column after `cur` still hit under current bt."""
+        def next_hit(visited, bt):
+            """Unvisited block with the smallest tile-entry tn still hit
+            under the current best-t (per-tile front-to-back priority)."""
             live = hit0 * jnp.where(tn <= rc(bt), 1.0, 0.0)  # [RT,B]
-            anyhit = jnp.max(live, axis=0, keepdims=True)  # [1,B]
-            cand = jnp.where((anyhit > 0.0) & (iota_b > cur), iota_b, bpad)
-            return jnp.min(cand)
+            anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
+                & (visited == 0.0)  # [1,B]
+            cand_t = jnp.where(anyhit, tn_min, jnp.inf)
+            m = jnp.min(cand_t)
+            nxt = jnp.min(jnp.where(anyhit & (cand_t == m), iota_b, bpad))
+            return nxt
 
         def cond(state):
             return state[0] < bpad
 
         def body(state):
-            cur, bt, bi, bu, bv, bb = state
+            cur, visited, bt, bi, bu, bv, bb = state
             bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
             best = visit_block(bid, (bt, bi, bu, bv, bb))
             bt = best[0]
-            nxt = next_hit(cur, bt)
-            return (nxt, *best)
+            visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
+            nxt = next_hit(visited, bt)
+            return (nxt, visited, *best)
 
         bt0 = jnp.full((rt,), jnp.inf, jnp.float32)
-        first = next_hit(jnp.int32(-1), bt0)
+        visited0 = jnp.zeros((1, bpad), jnp.float32)
+        first = next_hit(visited0, bt0)
         init = (
             first,
+            visited0,
             bt0,
             jnp.full((rt,), -1, jnp.int32),
             jnp.zeros((rt,), jnp.float32),
             jnp.zeros((rt,), jnp.float32),
             jnp.zeros((rt,), jnp.float32),
         )
-        _, bt, bi, bu, bv, bb = jax.lax.while_loop(cond, body, init)
+        _, _, bt, bi, bu, bv, bb = jax.lax.while_loop(cond, body, init)
 
         fout_ref[0, pl.ds(base, RAY_TILE)] = bt
         fout_ref[1, pl.ds(base, RAY_TILE)] = bu
@@ -625,8 +626,8 @@ def closest_hit_triangles_flat(o, d, t_prev, scene,
     d_t = pad(d, 1.0).T
     tp = pad(t_prev, jnp.inf)[None, :]  # padded lanes can never hit
 
-    fout, iout = _flat_launch(o_t, d_t, tp, scene.sl_blk6, scene.sl_blkid6,
-                              scene.sl_tris_t, scene.sl_blk6.shape[2],
+    fout, iout = _flat_launch(o_t, d_t, tp, scene.sl_blkflat, scene.sl_blkid,
+                              scene.sl_tris_t, scene.sl_blkflat.shape[1],
                               scene.sl_block, interpret=interpret)
     bt = fout[0, :r]
     kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
@@ -642,18 +643,8 @@ def closest_hit_triangles_flat(o, d, t_prev, scene,
     )
 
 
-def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk6_ref, bid6_ref, tris_ref,
+def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, tris_ref,
                      out_ref, *, bpad: int, block: int, n_tiles: int):
-    def pick_layout(dx, dy, dz):
-        sx = jnp.sum(dx)
-        sy = jnp.sum(dy)
-        sz = jnp.sum(dz)
-        ax_, ay_, az_ = jnp.abs(sx), jnp.abs(sy), jnp.abs(sz)
-        axis = jnp.where(ax_ >= jnp.maximum(ay_, az_), 0,
-                         jnp.where(ay_ >= az_, 1, 2))
-        s = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
-        return 2 * axis + jnp.where(s < 0.0, 1, 0)
-
     def tile_body(tile, _):
         base = tile * RAY_TILE
         ox = o_ref[0, pl.ds(base, RAY_TILE)]
@@ -668,14 +659,13 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk6_ref, bid6_ref, tris_ref,
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
 
-        layout = pick_layout(dx, dy, dz)
-        bmn0 = blk6_ref[layout, 0, :][None, :]
-        bmn1 = blk6_ref[layout, 1, :][None, :]
-        bmn2 = blk6_ref[layout, 2, :][None, :]
-        bmx0 = blk6_ref[layout, 3, :][None, :]
-        bmx1 = blk6_ref[layout, 4, :][None, :]
-        bmx2 = blk6_ref[layout, 5, :][None, :]
-        bids = bid6_ref[layout, 0, :][None, :]
+        bmn0 = blk_ref[0, :][None, :]
+        bmn1 = blk_ref[1, :][None, :]
+        bmn2 = blk_ref[2, :][None, :]
+        bmx0 = blk_ref[3, :][None, :]
+        bmx1 = blk_ref[4, :][None, :]
+        bmx2 = blk_ref[5, :][None, :]
+        bids = bid_ref[0, :][None, :]
 
         def rc(a):
             return a[:, None]
@@ -699,6 +689,10 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk6_ref, bid6_ref, tris_ref,
                          & (tn <= rc(t_max)) & (rc(t_max) >= 0.0)
                          & (bids >= 0),
                          1.0, 0.0)  # [RT,B]
+        # Closest blocks first: the nearest block along the rays is the most
+        # likely occluder, so lanes saturate (and tiles exit) sooner.
+        tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
+                         keepdims=True)  # [1,B]
 
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
 
@@ -734,25 +728,29 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk6_ref, bid6_ref, tris_ref,
             hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1)  # [RT]
             return jnp.maximum(occ, hit)
 
-        def next_hit(cur, occ):
+        def next_hit(visited, occ):
             live = hit0 * jnp.where(rc(occ) < 1.0, 1.0, 0.0)
-            anyhit = jnp.max(live, axis=0, keepdims=True)
-            cand = jnp.where((anyhit > 0.0) & (iota_b > cur), iota_b, bpad)
-            return jnp.min(cand)
+            anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
+                & (visited == 0.0)
+            cand_t = jnp.where(anyhit, tn_min, jnp.inf)
+            m = jnp.min(cand_t)
+            return jnp.min(jnp.where(anyhit & (cand_t == m), iota_b, bpad))
 
         def cond(state):
             return state[0] < bpad
 
         def body(state):
-            cur, occ = state
+            cur, visited, occ = state
             bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
             occ = visit_block(bid, occ)
-            nxt = next_hit(cur, occ)
-            return (nxt, occ)
+            visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
+            nxt = next_hit(visited, occ)
+            return (nxt, visited, occ)
 
         occ0 = jnp.where(t_max < 0.0, 1.0, 0.0)  # dead lanes start occluded
-        first = next_hit(jnp.int32(-1), occ0)
-        _, occ = jax.lax.while_loop(cond, body, (first, occ0))
+        visited0 = jnp.zeros((1, bpad), jnp.float32)
+        first = next_hit(visited0, occ0)
+        _, _, occ = jax.lax.while_loop(cond, body, (first, visited0, occ0))
         out_ref[0, pl.ds(base, RAY_TILE)] = occ
         return 0
 
@@ -795,8 +793,8 @@ def occluded_triangles_flat(o, d, t_max, scene, interpret=False):
     d_t = pad(d, 1.0).T
     tm = pad(t_max, -1.0)[None, :]  # padded lanes occlude nothing
 
-    out = _flat_occ_launch(o_t, d_t, tm, scene.sl_blk6, scene.sl_blkid6,
-                           scene.sl_tris_t, scene.sl_blk6.shape[2],
+    out = _flat_occ_launch(o_t, d_t, tm, scene.sl_blkflat, scene.sl_blkid,
+                           scene.sl_tris_t, scene.sl_blkflat.shape[1],
                            scene.sl_block, interpret=interpret)
     return out[0, :r] > 0.0
 

@@ -137,14 +137,14 @@ class DeviceScene:
     sl_meta6: jax.Array  # [6, 2, Nsl] i32 (skip, block_id+1; 0 = internal)
     sl_tris_t: jax.Array  # [9, n_blocks*512] f32, block-aligned windows
     sl_map: jax.Array  # [n_blocks*512] i32 packed->global prim id (pad: 0)
-    # FLAT per-block tables for the windowed flat-visit kernel: with a few
-    # hundred superleaf blocks, slab-testing EVERY block bound against the
-    # whole ray tile is one [RT,B] vector op — cheaper than walking a node
-    # tree serially. Six orderings (axis*2+neg) sort blocks by bbox center
-    # along the dominant ray axis for approximate front-to-back pruning.
-    sl_blk6: jax.Array  # [6, 8, Bpad] f32 (mn.xyz, mx.xyz, 2 pad; pad cols
-    #                     have mn=+inf so they never pass a slab test)
-    sl_blkid6: jax.Array  # [6, 1, Bpad] i32 block id per ordered column
+    # FLAT per-block tables for the flat-visit kernel: with a few hundred
+    # superleaf blocks, slab-testing EVERY block bound against the whole ray
+    # tile is one [RT,B] vector op — cheaper than walking a node tree
+    # serially. A SINGLE layout suffices: the kernel visits blocks by the
+    # tile's minimum slab-entry tn (true per-tile front-to-back), so column
+    # order is irrelevant; pad columns are marked by block id -1.
+    sl_blkflat: jax.Array  # [8, Bpad] f32 (mn.xyz, mx.xyz, 2 pad)
+    sl_blkid: jax.Array  # [1, Bpad] i32 block id per column (-1 = pad)
     # Lane-major sphere table [4, S_pad] = (cx, cy, cz, r), padded to a
     # 128-lane multiple with guaranteed-miss spheres, for the fused Pallas
     # sphere kernel (ops/pallas_spheres.py).
@@ -162,6 +162,14 @@ class DeviceScene:
     # True when no material has any texture — material sampling is then a
     # pure factor table lookup and the atlas gather can be skipped.
     no_textures: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
+    # True when no material emits (all emissive factors zero, no emissive
+    # textures). Then eval_direct for a lane with n.l <= 0 is EXACTLY zero
+    # (diffuse and spec both carry max(n.l, 0); the emissive-in-eval_direct
+    # quirk term is zero too), so the integrator can skip that lane's shadow
+    # cast entirely — about half the lanes per light on closed geometry.
+    no_emissive: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
     # Real (unpadded) primitive counts; a zero lets the intersector skip the
@@ -412,26 +420,20 @@ def build_device_scene(scene: isf.Scene, root,
         sl_nodes6, sl_meta6 = build_directional_layouts(
             sl.node_min, sl.node_max, sl.prim_count, sl.skip, meta_leaf
         )
-        # Flat per-block tables (six centroid orderings) for the flat-visit
-        # kernel: block bounds are the superleaf tree's leaf bounds.
+        # Flat per-block tables for the flat-visit kernel: block bounds are
+        # the superleaf tree's leaf bounds, one layout (the kernel orders
+        # visits by per-tile slab tn, so column order is irrelevant).
         blk_min = sl.node_min[leaf_nodes]
         blk_max = sl.node_max[leaf_nodes]
-        blk_center = (blk_min + blk_max) * 0.5
         b_pad = ((n_blocks + 127) // 128) * 128
-        sl_blk6 = np.zeros((6, 8, b_pad), np.float32)
+        sl_blkflat = np.zeros((8, b_pad), np.float32)
         # NOTE: inverted-inf bounds do NOT fail a slab test (min/max reorders
         # the infinities into an always-pass interval) — pad columns are
         # excluded via block id -1 instead, masked in the kernels.
-        sl_blkid6 = np.full((6, 1, b_pad), -1, np.int32)
-        for axis in range(3):
-            for neg in (0, 1):
-                li = axis * 2 + neg
-                order = np.argsort(blk_center[:, axis])
-                if neg:
-                    order = order[::-1]
-                sl_blk6[li, 0:3, :n_blocks] = blk_min[order].T
-                sl_blk6[li, 3:6, :n_blocks] = blk_max[order].T
-                sl_blkid6[li, 0, :n_blocks] = order
+        sl_blkid = np.full((1, b_pad), -1, np.int32)
+        sl_blkflat[0:3, :n_blocks] = blk_min.T
+        sl_blkflat[3:6, :n_blocks] = blk_max.T
+        sl_blkid[0, :n_blocks] = np.arange(n_blocks)
     else:
         n_blocks = 0
         nsl = 1
@@ -442,8 +444,8 @@ def build_device_scene(scene: isf.Scene, root,
         sl_meta6[:, 0, 0] = 1
         sl_tris = np.zeros((SL_BLOCK, 9), np.float32)
         sl_map = np.zeros(SL_BLOCK, np.int32)
-        sl_blk6 = np.zeros((6, 8, 128), np.float32)
-        sl_blkid6 = np.full((6, 1, 128), -1, np.int32)
+        sl_blkflat = np.zeros((8, 128), np.float32)
+        sl_blkid = np.full((1, 128), -1, np.int32)
 
     # Spheres padded to >= 1 with a guaranteed-miss entry (center at 1e30 so
     # the quadratic discriminant is hugely negative for any practical ray).
@@ -515,6 +517,11 @@ def build_device_scene(scene: isf.Scene, root,
             m.material.opacity.factor >= 1.0 and m.material.opacity.texture is None
             for m in scene.models
         ),
+        no_emissive=all(
+            tuple(m.material.emissive.factor) == (0.0, 0.0, 0.0)
+            and m.material.emissive.texture is None
+            for m in scene.models
+        ),
         bvh_nodes=jnp.asarray(bvh_nodes),
         bvh_nodes_i=jnp.asarray(
             np.stack([bvh_nodes[:, 6].view(np.int32),
@@ -528,8 +535,8 @@ def build_device_scene(scene: isf.Scene, root,
         sl_meta6=jnp.asarray(sl_meta6),
         sl_tris_t=jnp.asarray(np.ascontiguousarray(sl_tris.T)),
         sl_map=jnp.asarray(sl_map),
-        sl_blk6=jnp.asarray(sl_blk6),
-        sl_blkid6=jnp.asarray(sl_blkid6),
+        sl_blkflat=jnp.asarray(sl_blkflat),
+        sl_blkid=jnp.asarray(sl_blkid),
         sph_packed_t=jnp.asarray(_pack_spheres(centers, radii)),
         no_textures=len(atlas.offsets) == 1,
         num_real_triangles=n_tris,

@@ -61,10 +61,7 @@ def test_two_process_distributed(tmp_path):
                 rows[int(k[5:])] = z[k]
     img = np.concatenate([rows[k] for k in sorted(rows)], axis=0)
 
-    import jax
-
     from path_tracer_tpu.models.integrator import IntegratorSpec
-    from path_tracer_tpu.models.renderer import render_pixel_sums
     from path_tracer_tpu.scene.procedural import cornell_device_scene
 
     spec = IntegratorSpec(bounces=1, alpha_walk_steps=2, shadow_walk_steps=2,

@@ -1,0 +1,121 @@
+"""Compiled-mode (Mosaic) kernel parity check on the real TPU chip.
+
+The pytest suite exercises the Pallas kernels in interpreter mode on CPU;
+this check runs the COMPILED kernels on the actual chip and asserts they
+match the jnp reference paths on randomized scenes — so a Mosaic lowering
+regression cannot ship silently. Wired into the verify recipe and runnable
+standalone:
+
+    python tests/tools/tpu_kernel_check.py
+
+Exit code 0 = all kernels match; prints one line per check.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/path_tracer_tpu/xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from path_tracer_tpu.ops.intersect import (
+        closest_hit_spheres,
+        closest_hit_triangles,
+    )
+    from path_tracer_tpu.ops.pallas_bvh import (
+        closest_hit_triangles_flat,
+        closest_hit_triangles_packet,
+        occluded_triangles_flat,
+        occluded_triangles_packet,
+    )
+    from path_tracer_tpu.ops.pallas_intersect import closest_hit_triangles_pallas
+    from path_tracer_tpu.ops.pallas_spheres import closest_hit_spheres_pallas
+    from path_tracer_tpu.scene.showcase import showcase_device_scene
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("SKIP: no TPU backend (this check targets the real chip)")
+        return 0
+
+    failures = []
+
+    def check(name, cond, detail=""):
+        status = "OK" if cond else "FAIL"
+        print(f"{name}: {status} {detail}")
+        if not cond:
+            failures.append(name)
+
+    scene = showcase_device_scene(grid=96, use_bvh=True)
+    rng = np.random.default_rng(11)
+    r = 4096
+    lo = np.asarray(scene.tri_v0).min(axis=0)
+    hi = np.asarray(scene.tri_v0).max(axis=0)
+    o = jnp.asarray(rng.uniform(lo - 5, hi + 5, (r, 3)).astype(np.float32))
+    tgt = rng.uniform(lo, hi, (r, 3)).astype(np.float32)
+    d = tgt - np.asarray(o)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+    tp = jnp.full((r,), -1.0, jnp.float32)
+
+    ref = closest_hit_triangles(o, d, tp, scene, block=512)
+    ref = jax.tree_util.tree_map(np.asarray, ref)
+
+    for name, fn in (("flat", closest_hit_triangles_flat),
+                     ("tree", closest_hit_triangles_packet)):
+        got = fn(o, d, tp, scene)
+        same_prim = np.array_equal(np.asarray(got.prim), ref.prim)
+        same_t = np.allclose(np.asarray(got.t), ref.t, rtol=1e-5, atol=1e-6,
+                             equal_nan=True)
+        check(f"closest_hit {name} (compiled)", same_prim and same_t,
+              f"hit_rate={float(np.mean(ref.kind > 0)):.2f}")
+
+    t_ref = np.where(np.isfinite(ref.t), ref.t, 50.0).astype(np.float32)
+    above = jnp.asarray(t_ref * 1.01)
+    occ_ref = (ref.t <= np.asarray(above))
+    for name, fn in (("flat", occluded_triangles_flat),
+                     ("tree", occluded_triangles_packet)):
+        got = np.asarray(fn(o, d, above, scene))
+        check(f"occlusion {name} (compiled)", np.array_equal(got, occ_ref),
+              f"occ_rate={occ_ref.mean():.2f}")
+
+    # Brute-force Pallas MT kernel on a small mesh scene.
+    from path_tracer_tpu.scene.procedural import cornell_device_scene
+
+    cscene = cornell_device_scene()
+    co = jnp.asarray(rng.uniform(-1, 1, (r, 3)).astype(np.float32))
+    cd = jnp.asarray(rng.normal(size=(r, 3)).astype(np.float32))
+    cd = cd / jnp.linalg.norm(cd, axis=-1, keepdims=True)
+    cref = closest_hit_triangles(co, cd, tp, cscene, block=512)
+    cgot = closest_hit_triangles_pallas(co, cd, tp, cscene)
+    check("closest_hit brute-pallas (compiled)",
+          np.array_equal(np.asarray(cgot.prim), np.asarray(cref.prim))
+          and np.allclose(np.asarray(cgot.t), np.asarray(cref.t),
+                          rtol=1e-5, atol=1e-6, equal_nan=True))
+
+    # Fused sphere kernel vs the jnp quadratic.
+    sref = closest_hit_spheres(o, d, tp, scene)
+    sgot = closest_hit_spheres_pallas(o, d, tp, scene)
+    check("closest_hit spheres-pallas (compiled)",
+          np.array_equal(np.asarray(sgot.prim), np.asarray(sref.prim))
+          and np.allclose(np.asarray(sgot.t), np.asarray(sref.t),
+                          rtol=1e-4, atol=1e-5, equal_nan=True))
+
+    if failures:
+        print(f"FAILURES: {failures}")
+        return 1
+    print("all compiled kernels match jnp reference paths")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
