@@ -271,7 +271,8 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
 
 
 def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
-                        point_dist=None, surf_pos=None, orig_model_uv=None):
+                        point_dist=None, surf_pos=None, orig_model_uv=None,
+                        blocked=None):
     """Occluder opacity-attenuation walk shared by both light types.
 
     Directional (ref mod.rs:283-299): every occluder's own material/UV.
@@ -286,11 +287,12 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
     att0 = jnp.where(active[:, None], jnp.broadcast_to(light_color, s_o.shape), 0.0)
 
     if scene.all_opaque:
-        from path_tracer_tpu.ops.intersect import occluded
+        if blocked is None:
+            from path_tracer_tpu.ops.intersect import occluded
 
-        blocked = occluded(s_o, s_d, scene, surf_pos=surf_pos,
-                           max_dist=point_dist, block=spec.tri_block,
-                           active=active if scene.use_bvh else None)
+            blocked = occluded(s_o, s_d, scene, surf_pos=surf_pos,
+                               max_dist=point_dist, block=spec.tri_block,
+                               active=active if scene.use_bvh else None)
         return jnp.where(blocked[:, None], 0.0, att0)
 
     # The walk carries a scalar transmittance (opacity is channel-uniform);
@@ -399,6 +401,37 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
                 return alive
             return alive & (_dot(surf.normal, l_dir) > 0.0)
 
+        # Point-light geometry precomputed once; shared by the batched
+        # occlusion call and the shading loop below.
+        pt_dirs, pt_dists = [], []
+        for li in range(scene.num_point_lights):
+            to_surf = surf.pos - scene.point_pos[li]
+            dist = jnp.linalg.norm(to_surf, axis=-1)
+            pt_dirs.append(to_surf / dist[:, None])  # light → surface
+            pt_dists.append(dist)
+
+        # Fully opaque scenes: ALL lights' shadow casts in ONE any-hit
+        # launch (ops.intersect.occluded_multi batches the triangle walk;
+        # per-tile fixed costs are paid once, not per light).
+        blocked_all = None
+        n_lights = scene.num_dir_lights + scene.num_point_lights
+        if scene.all_opaque and n_lights > 1:
+            from path_tracer_tpu.ops.intersect import occluded_multi
+
+            dirs_all, dists_all, act_all = [], [], []
+            for li in range(scene.num_dir_lights):
+                sd = jnp.broadcast_to(-scene.dir_dir[li], d.shape)
+                dirs_all.append(sd)
+                dists_all.append(None)
+                act_all.append(shadow_active(sd))
+            for li in range(scene.num_point_lights):
+                dirs_all.append(-pt_dirs[li])
+                dists_all.append(pt_dists[li])
+                act_all.append(shadow_active(-pt_dirs[li]))
+            blocked_all = occluded_multi(
+                shadow_o, dirs_all, scene, surf_pos=surf.pos,
+                max_dists=dists_all, actives=act_all, block=spec.tri_block)
+
         # Directional lights (mod.rs:283-299): static python loop.
         for li in range(scene.num_dir_lights):
             ldir = scene.dir_dir[li]  # raw, possibly unnormalized — as in ref
@@ -406,6 +439,7 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
                 scene, shadow_o, jnp.broadcast_to(-ldir, d.shape),
                 shadow_active(jnp.broadcast_to(-ldir, d.shape)),
                 scene.dir_color[li], spec, shadow_steps,
+                blocked=None if blocked_all is None else blocked_all[li],
             )
             lit = alive & (jnp.sum(radiance, axis=-1) != 0.0)  # skip zero lights
             ev = brdf.eval_direct(mat, f0, surf.normal, view,
@@ -415,16 +449,16 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
 
         # Point lights (mod.rs:301-331).
         for li in range(scene.num_point_lights):
-            lpos = scene.point_pos[li]
-            to_surf = surf.pos - lpos
-            dist = jnp.linalg.norm(to_surf, axis=-1)
-            ldir = to_surf / dist[:, None]  # light → surface
+            dist = pt_dists[li]
+            ldir = pt_dirs[li]  # light → surface
             dissipated = scene.point_color[li] / (4.0 * PI * dist * dist)[:, None]
             radiance = _shadow_attenuation(
                 scene, shadow_o, -ldir, shadow_active(-ldir), 1.0, spec,
                 shadow_steps,
                 point_dist=dist, surf_pos=surf.pos,
                 orig_model_uv=(surf.uv, surf.simple),
+                blocked=None if blocked_all is None
+                else blocked_all[scene.num_dir_lights + li],
             ) * dissipated
             lit = alive & (jnp.sum(radiance, axis=-1) != 0.0)
             ev = brdf.eval_direct(mat, f0, surf.normal, view, -ldir)

@@ -290,6 +290,77 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
     return hit
 
 
+def occluded_multi(o, dirs, scene, surf_pos=None, max_dists=None,
+                   actives=None, block: int = 512):
+    """Any-hit occlusion for L direction sets sharing one origin set (a
+    bounce's shadow casts toward L lights). On the TPU flat-walk path the
+    triangle tests batch into ONE kernel launch (per-tile fixed costs paid
+    once, not per light); spheres and every fallback stay per light.
+
+    dirs: list of [R,3]; max_dists: optional list ([R] or None per light);
+    actives: optional list ([R] bool or None). Returns list of [R] bool.
+    """
+    n_lights = len(dirs)
+    batched = (n_lights > 1 and _on_tpu() and getattr(scene, "use_bvh", False)
+               and _use_flat_walk(scene) and not _device_sort()
+               and scene.num_real_triangles != 0)
+    if not batched:
+        return [
+            occluded(o, dirs[i], scene, surf_pos=surf_pos,
+                     max_dist=None if max_dists is None else max_dists[i],
+                     block=block,
+                     active=None if actives is None else actives[i])
+            for i in range(n_lights)
+        ]
+
+    from path_tracer_tpu.ops.pallas_bvh import occluded_triangles_flat_multi
+
+    r = o.shape[0]
+    t_maxes = []
+    in_ranges = []
+    for i in range(n_lights):
+        d = dirs[i]
+        md = None if max_dists is None else max_dists[i]
+        if md is None:
+            tm = jnp.full((r,), jnp.inf, jnp.float32)
+            in_ranges.append(lambda t: True)
+        else:
+            bvec = o - surf_pos
+            b_dot_d = _dot(bvec, d)
+            b_sq = _dot(bvec, bvec)
+            d_sq = _dot(d, d)
+            limit_sq = md * md
+            disc = b_dot_d**2 - d_sq * (b_sq - limit_sq)
+            tm = (-b_dot_d + jnp.sqrt(jnp.maximum(disc, 0.0))) / d_sq
+
+            def in_range(t, b_dot_d=b_dot_d[:, None], b_sq=b_sq[:, None],
+                         d_sq=d_sq[:, None], limit_sq=limit_sq[:, None]):
+                return t * t * d_sq + 2.0 * t * b_dot_d + b_sq <= limit_sq
+
+            in_ranges.append(in_range)
+        if actives is not None and actives[i] is not None:
+            tm = jnp.where(actives[i], tm, -1.0)
+        t_maxes.append(tm)
+
+    tri_occ = occluded_triangles_flat_multi(o, dirs, t_maxes, scene)
+
+    outs = []
+    for i in range(n_lights):
+        hit = tri_occ[i]
+        if scene.num_real_spheres != 0:
+            a, b, cc = _sphere_quadratic(o, dirs[i], scene)
+            disc = b * b - 4.0 * a * cc
+            has = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            t1 = (-b - sq) / (2.0 * a)
+            t2 = (-b + sq) / (2.0 * a)
+            v1 = has & (t1 >= 0.0) & in_ranges[i](t1)
+            v2 = has & (t2 >= 0.0) & in_ranges[i](t2)
+            hit = hit | jnp.any(v1 | v2, axis=1)
+        outs.append(hit)
+    return outs
+
+
 def _miss_record(r: int) -> HitRecord:
     return HitRecord(
         t=jnp.full((r,), jnp.inf, jnp.float32),

@@ -644,20 +644,17 @@ def closest_hit_triangles_flat(o, d, t_prev, scene,
 
 
 def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, tris_ref,
-                     out_ref, *, bpad: int, block: int, n_tiles: int):
+                     out_ref, *, bpad: int, block: int, n_tiles: int,
+                     n_sets: int = 1):
+    """Any-hit flat walk. ``n_sets`` ray-direction/t_max sets share the same
+    origins (one launch for ALL of a bounce's shadow casts: per-tile fixed
+    costs — loads, iota, loop setup — are paid once instead of per light).
+    d_ref rows are [3*n_sets, R]; tmax/out rows [n_sets, R]."""
     def tile_body(tile, _):
         base = tile * RAY_TILE
         ox = o_ref[0, pl.ds(base, RAY_TILE)]
         oy = o_ref[1, pl.ds(base, RAY_TILE)]
         oz = o_ref[2, pl.ds(base, RAY_TILE)]
-        dx = d_ref[0, pl.ds(base, RAY_TILE)]
-        dy = d_ref[1, pl.ds(base, RAY_TILE)]
-        dz = d_ref[2, pl.ds(base, RAY_TILE)]
-        t_max = tmax_ref[0, pl.ds(base, RAY_TILE)]
-
-        inv_dx = 1.0 / dx
-        inv_dy = 1.0 / dy
-        inv_dz = 1.0 / dz
 
         bmn0 = blk_ref[0, :][None, :]
         bmn1 = blk_ref[1, :][None, :]
@@ -666,110 +663,126 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, tris_ref,
         bmx1 = blk_ref[4, :][None, :]
         bmx2 = blk_ref[5, :][None, :]
         bids = bid_ref[0, :][None, :]
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
 
         def rc(a):
             return a[:, None]
 
-        t0x = (bmn0 - rc(ox)) * rc(inv_dx)
-        t1x = (bmx0 - rc(ox)) * rc(inv_dx)
-        t0y = (bmn1 - rc(oy)) * rc(inv_dy)
-        t1y = (bmx1 - rc(oy)) * rc(inv_dy)
-        t0z = (bmn2 - rc(oz)) * rc(inv_dz)
-        t1z = (bmx2 - rc(oz)) * rc(inv_dz)
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z))
-        # Dead lanes (t_max = -1) fail tn <= t_max for tn >= 0; tn < 0 with
-        # tf >= max(tn,0) means origin inside the box — still a candidate
-        # only when t_max >= 0 (occludable lane).
-        hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0))
-                         & (tn <= rc(t_max)) & (rc(t_max) >= 0.0)
-                         & (bids >= 0),
-                         1.0, 0.0)  # [RT,B]
-        # Closest blocks first: the nearest block along the rays is the most
-        # likely occluder, so lanes saturate (and tiles exit) sooner.
-        tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
-                         keepdims=True)  # [1,B]
+        def one_set(li):
+            dx = d_ref[3 * li + 0, pl.ds(base, RAY_TILE)]
+            dy = d_ref[3 * li + 1, pl.ds(base, RAY_TILE)]
+            dz = d_ref[3 * li + 2, pl.ds(base, RAY_TILE)]
+            t_max = tmax_ref[li, pl.ds(base, RAY_TILE)]
+            inv_dx = 1.0 / dx
+            inv_dy = 1.0 / dy
+            inv_dz = 1.0 / dz
 
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
+            t0x = (bmn0 - rc(ox)) * rc(inv_dx)
+            t1x = (bmx0 - rc(ox)) * rc(inv_dx)
+            t0y = (bmn1 - rc(oy)) * rc(inv_dy)
+            t1y = (bmx1 - rc(oy)) * rc(inv_dy)
+            t0z = (bmn2 - rc(oz)) * rc(inv_dz)
+            t1z = (bmx2 - rc(oz)) * rc(inv_dz)
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z))
+            # Dead lanes (t_max = -1) fail tn <= t_max for tn >= 0; tn < 0
+            # with tf >= max(tn,0) means origin inside the box — still a
+            # candidate only when t_max >= 0 (occludable lane).
+            hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0))
+                             & (tn <= rc(t_max)) & (rc(t_max) >= 0.0)
+                             & (bids >= 0),
+                             1.0, 0.0)  # [RT,B]
+            # Closest blocks first: the nearest block along the rays is the
+            # most likely occluder, so lanes saturate sooner.
+            tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
+                             keepdims=True)  # [1,B]
+            run_walk(li, dx, dy, dz, t_max, hit0, tn, tn_min)
 
-        def visit_block(block_id, occ):
-            start = pl.multiple_of(block_id * block, 128)
-            tri = tris_ref[:, pl.ds(start, block)]
+        def run_walk(li, dx, dy, dz, t_max, hit0, tn, tn_min):
+            def visit_block(block_id, occ):
+                start = pl.multiple_of(block_id * block, 128)
+                tri = tris_ref[:, pl.ds(start, block)]
 
-            def tr(c):
-                return tri[c, :][None, :]
+                def tr(c):
+                    return tri[c, :][None, :]
 
-            pvx = rc(dy) * tr(8) - rc(dz) * tr(7)
-            pvy = rc(dz) * tr(6) - rc(dx) * tr(8)
-            pvz = rc(dx) * tr(7) - rc(dy) * tr(6)
-            det = tr(3) * pvx + tr(4) * pvy + tr(5) * pvz
-            ok = jnp.abs(det) >= DET_EPS
-            invdet = 1.0 / jnp.where(ok, det, 1.0)
+                pvx = rc(dy) * tr(8) - rc(dz) * tr(7)
+                pvy = rc(dz) * tr(6) - rc(dx) * tr(8)
+                pvz = rc(dx) * tr(7) - rc(dy) * tr(6)
+                det = tr(3) * pvx + tr(4) * pvy + tr(5) * pvz
+                ok = jnp.abs(det) >= DET_EPS
+                invdet = 1.0 / jnp.where(ok, det, 1.0)
 
-            tvx = rc(ox) - tr(0)
-            tvy = rc(oy) - tr(1)
-            tvz = rc(oz) - tr(2)
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
-            ok &= (u >= 0.0) & (u <= 1.0)
+                tvx = rc(ox) - tr(0)
+                tvy = rc(oy) - tr(1)
+                tvz = rc(oz) - tr(2)
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
+                ok &= (u >= 0.0) & (u <= 1.0)
 
-            qvx = tvy * tr(5) - tvz * tr(4)
-            qvy = tvz * tr(3) - tvx * tr(5)
-            qvz = tvx * tr(4) - tvy * tr(3)
-            v = (rc(dx) * qvx + rc(dy) * qvy + rc(dz) * qvz) * invdet
-            ok &= (v >= 0.0) & (u + v <= 1.0)
+                qvx = tvy * tr(5) - tvz * tr(4)
+                qvy = tvz * tr(3) - tvx * tr(5)
+                qvz = tvx * tr(4) - tvy * tr(3)
+                v = (rc(dx) * qvx + rc(dy) * qvy + rc(dz) * qvz) * invdet
+                ok &= (v >= 0.0) & (u + v <= 1.0)
 
-            t = (tr(6) * qvx + tr(7) * qvy + tr(8) * qvz) * invdet
-            ok &= (t >= T_MIN) & (t <= rc(t_max))
+                t = (tr(6) * qvx + tr(7) * qvy + tr(8) * qvz) * invdet
+                ok &= (t >= T_MIN) & (t <= rc(t_max))
 
-            hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1)  # [RT]
-            return jnp.maximum(occ, hit)
+                hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1)  # [RT]
+                return jnp.maximum(occ, hit)
 
-        def next_hit(visited, occ):
-            live = hit0 * jnp.where(rc(occ) < 1.0, 1.0, 0.0)
-            anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
-                & (visited == 0.0)
-            cand_t = jnp.where(anyhit, tn_min, jnp.inf)
-            m = jnp.min(cand_t)
-            return jnp.min(jnp.where(anyhit & (cand_t == m), iota_b, bpad))
+            def next_hit(visited, occ):
+                live = hit0 * jnp.where(rc(occ) < 1.0, 1.0, 0.0)
+                anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
+                    & (visited == 0.0)
+                cand_t = jnp.where(anyhit, tn_min, jnp.inf)
+                m = jnp.min(cand_t)
+                return jnp.min(jnp.where(anyhit & (cand_t == m), iota_b,
+                                         bpad))
 
-        def cond(state):
-            return state[0] < bpad
+            def cond(state):
+                return state[0] < bpad
 
-        def body(state):
-            cur, visited, occ = state
-            bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
-            occ = visit_block(bid, occ)
-            visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
-            nxt = next_hit(visited, occ)
-            return (nxt, visited, occ)
+            def body(state):
+                cur, visited, occ = state
+                bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
+                occ = visit_block(bid, occ)
+                visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
+                nxt = next_hit(visited, occ)
+                return (nxt, visited, occ)
 
-        occ0 = jnp.where(t_max < 0.0, 1.0, 0.0)  # dead lanes start occluded
-        visited0 = jnp.zeros((1, bpad), jnp.float32)
-        first = next_hit(visited0, occ0)
-        _, _, occ = jax.lax.while_loop(cond, body, (first, visited0, occ0))
-        out_ref[0, pl.ds(base, RAY_TILE)] = occ
+            occ0 = jnp.where(t_max < 0.0, 1.0, 0.0)  # dead lanes: occluded
+            visited0 = jnp.zeros((1, bpad), jnp.float32)
+            first = next_hit(visited0, occ0)
+            _, _, occ = jax.lax.while_loop(cond, body,
+                                           (first, visited0, occ0))
+            out_ref[li, pl.ds(base, RAY_TILE)] = occ
+
+        for li in range(n_sets):
+            one_set(li)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("bpad", "block", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("bpad", "block", "n_sets", "interpret"))
 def _flat_occ_launch(o_t, d_t, t_max, blk6, bid6, tris_t, bpad, block,
-                     interpret=False):
+                     n_sets=1, interpret=False):
     r = o_t.shape[1]
     n_tiles = r // RAY_TILE
     kernel = functools.partial(_flat_occ_kernel, bpad=bpad, block=block,
-                               n_tiles=n_tiles)
+                               n_tiles=n_tiles, n_sets=n_sets)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     (out,) = pl.pallas_call(
         kernel,
         in_specs=[vm(), vm(), vm(), vm(), vm(), vm()],
         out_specs=[vm()],
-        out_shape=[jax.ShapeDtypeStruct((1, r), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n_sets, r), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -797,6 +810,34 @@ def occluded_triangles_flat(o, d, t_max, scene, interpret=False):
                            scene.sl_tris_t, scene.sl_blkflat.shape[1],
                            scene.sl_block, interpret=interpret)
     return out[0, :r] > 0.0
+
+
+def occluded_triangles_flat_multi(o, ds, t_maxes, scene, interpret=False):
+    """Batched any-hit: one launch for L direction/t_max sets sharing the
+    same origins (a bounce's shadow casts toward L lights). Per-tile fixed
+    costs are paid once instead of L times.
+
+    o: [R,3]; ds: list of L [R,3]; t_maxes: list of L [R].
+    Returns [L,R] bool."""
+    r = o.shape[0]
+    n_sets = len(ds)
+    r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+
+    def pad(x, fill=0.0):
+        if r_pad == r:
+            return x
+        cfg = [(0, r_pad - r)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    o_t = pad(o).T
+    d_t = jnp.concatenate([pad(d, 1.0).T for d in ds], axis=0)  # [3L, Rp]
+    tm = jnp.stack([pad(t, -1.0) for t in t_maxes], axis=0)  # [L, Rp]
+
+    out = _flat_occ_launch(o_t, d_t, tm, scene.sl_blkflat, scene.sl_blkid,
+                           scene.sl_tris_t, scene.sl_blkflat.shape[1],
+                           scene.sl_block, n_sets=n_sets,
+                           interpret=interpret)
+    return out[:, :r] > 0.0
 
 
 def occluded_triangles_packet(o, d, t_max, scene, interpret=False):

@@ -89,3 +89,30 @@ def test_flat_occlusion_matches_brute(head_scene):
     dead = above.at[:64].set(-1.0)
     occ3 = occluded_triangles_flat(o, d, dead, head_scene, interpret=True)
     assert np.asarray(occ3)[:64].all()
+
+
+def test_flat_occlusion_multi_matches_single(head_scene):
+    """The batched L-set any-hit launch (one bounce's shadow casts toward L
+    lights) must agree set-for-set with L independent single-set launches:
+    mixed unbounded / bounded / dead-lane t_max per set."""
+    from path_tracer_tpu.ops.pallas_bvh import (occluded_triangles_flat,
+                                                occluded_triangles_flat_multi)
+
+    r = 512
+    o, d0 = _rays(head_scene, r, 5)
+    _, d1 = _rays(head_scene, r, 6)
+    _, d2 = _rays(head_scene, r, 7)
+    tm0 = jnp.full((r,), jnp.inf, jnp.float32)
+    tm1 = jnp.asarray(
+        np.random.default_rng(8).uniform(0.1, 6.0, r).astype(np.float32))
+    tm2 = tm1.at[::3].set(-1.0)  # every third lane dead
+    ds, tms = [d0, d1, d2], [tm0, tm1, tm2]
+    multi = occluded_triangles_flat_multi(o, ds, tms, head_scene,
+                                          interpret=True)
+    assert multi.shape == (3, r)
+    for i in range(3):
+        single = occluded_triangles_flat(o, ds[i], tms[i], head_scene,
+                                         interpret=True)
+        np.testing.assert_array_equal(np.asarray(multi[i]),
+                                      np.asarray(single))
+    assert np.asarray(multi[2])[::3].all()  # dead lanes report occluded

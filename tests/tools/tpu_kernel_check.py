@@ -88,6 +88,20 @@ def main() -> int:
         check(f"occlusion {name} (compiled)", np.array_equal(got, occ_ref),
               f"occ_rate={occ_ref.mean():.2f}")
 
+    # Batched multi-set any-hit (one launch for L shadow-light sets) must
+    # agree set-for-set with the single-set kernel, incl. dead lanes.
+    from path_tracer_tpu.ops.pallas_bvh import occluded_triangles_flat_multi
+
+    d2 = jnp.roll(d, 1, axis=0)
+    dead = above.at[::5].set(-1.0)
+    multi = occluded_triangles_flat_multi(o, [d, d2], [above, dead], scene)
+    s0 = np.asarray(occluded_triangles_flat(o, d, above, scene))
+    s1 = np.asarray(occluded_triangles_flat(o, d2, dead, scene))
+    check("occlusion flat-multi (compiled)",
+          np.array_equal(np.asarray(multi[0]), s0)
+          and np.array_equal(np.asarray(multi[1]), s1),
+          f"occ_rate={s0.mean():.2f}")
+
     # Brute-force Pallas MT kernel on a small mesh scene.
     from path_tracer_tpu.scene.procedural import cornell_device_scene
 
