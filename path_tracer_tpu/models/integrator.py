@@ -90,23 +90,54 @@ def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 
 
-def _hit_model_uv(scene, hit: HitRecord):
+def _tri_attr(scene, hit: HitRecord):
+    """[R,32] packed shading-attribute rows for triangle hits, or None.
+
+    One wide gather of scene.sl_attr replaces the ~12 narrow per-triangle
+    gathers shading otherwise issues (TPU gather cost is ~row-width-invariant;
+    see DeviceScene.sl_attr). Kernel paths report the slot id directly
+    (hit.packed); jnp fallback paths map global->slot via sl_inv. Non-triangle
+    lanes read slot 0 — their values are masked out by callers.
+    """
+    if not (getattr(scene, "use_bvh", False) and scene.num_real_triangles):
+        return None
+    from path_tracer_tpu.ops.intersect import _on_tpu
+
+    packed = hit.packed
+    if not _on_tpu():
+        # CPU BVH walk reports global prim ids only.
+        prim = jnp.minimum(jnp.maximum(hit.prim, 0), scene.sl_inv.shape[0] - 1)
+        packed = jnp.where(packed >= 0, packed, scene.sl_inv[prim])
+    return scene.sl_attr[jnp.maximum(packed, 0)]
+
+
+def _hit_model_uv(scene, hit: HitRecord, row=None):
     """(model_id [R], uv [R,2], simple [R]) for any hit record. Scenes with a
-    single primitive class skip the other class's gathers statically."""
+    single primitive class skip the other class's gathers statically.
+    ``row``: optional precomputed _tri_attr rows (else computed here)."""
     prim = jnp.maximum(hit.prim, 0)
     if scene.num_real_triangles == 0:
         sph_i = jnp.minimum(prim, scene.sph_model.shape[0] - 1)
         r = prim.shape[0]
         return (scene.sph_model[sph_i], jnp.zeros((r, 2), jnp.float32),
                 jnp.ones((r,), jnp.bool_))
+    if row is None:
+        row = _tri_attr(scene, hit)
     is_tri = hit.kind == KIND_TRIANGLE
     w = hit.u[:, None]
     ww = hit.v[:, None]
-    uv0 = scene.tri_uv0[prim]
-    uv = uv0 + w * (scene.tri_uv1[prim] - uv0) + ww * (scene.tri_uv2[prim] - uv0)
+    if row is not None:
+        uv0 = row[:, 21:23]
+        uv = uv0 + w * (row[:, 23:25] - uv0) + ww * (row[:, 25:27] - uv0)
+        tri_model = row[:, 27].astype(jnp.int32)
+    else:
+        uv0 = scene.tri_uv0[prim]
+        uv = (uv0 + w * (scene.tri_uv1[prim] - uv0)
+              + ww * (scene.tri_uv2[prim] - uv0))
+        tri_model = scene.tri_model[prim]
     if scene.num_real_spheres == 0:
-        return scene.tri_model[prim], uv, jnp.zeros_like(is_tri)
-    model = jnp.where(is_tri, scene.tri_model[prim],
+        return tri_model, uv, jnp.zeros_like(is_tri)
+    model = jnp.where(is_tri, tri_model,
                       scene.sph_model[jnp.minimum(prim, scene.sph_model.shape[0] - 1)])
     uv = jnp.where(is_tri[:, None], uv, 0.0)
     return model, uv, ~is_tri
@@ -134,8 +165,12 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
     # the detached t.
     sg = jax.lax.stop_gradient
     p0 = sg(o + d * t_safe[:, None])
+    row = _tri_attr(scene, hit)
     if scene.num_real_triangles != 0:
-        face_n = jnp.cross(scene.tri_e1[prim], scene.tri_e2[prim])
+        if row is not None:
+            face_n = jnp.cross(row[:, 3:6], row[:, 6:9])
+        else:
+            face_n = jnp.cross(scene.tri_e1[prim], scene.tri_e2[prim])
     else:
         face_n = None
     if scene.num_real_spheres != 0:
@@ -154,17 +189,21 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
     t_plane = _dot(p0 - o, plane_n) / jnp.where(ok_plane, dn, 1.0)
     t_rep = jnp.where(ok_plane & jnp.isfinite(hit.t), t_plane, t_safe)
     pos = o + d * t_rep[:, None]
-    model, uv, simple = _hit_model_uv(scene, hit)
+    model, uv, simple = _hit_model_uv(scene, hit, row=row)
 
     # Triangle: barycentric vertex-normal interpolation (NOT normalized).
     if scene.num_real_triangles != 0:
         w1 = hit.u[:, None]
         w2 = hit.v[:, None]
-        n_interp = (
-            (1.0 - w1 - w2) * scene.tri_n0[prim]
-            + w1 * scene.tri_n1[prim]
-            + w2 * scene.tri_n2[prim]
-        )
+        if row is not None:
+            n_interp = ((1.0 - w1 - w2) * row[:, 9:12]
+                        + w1 * row[:, 12:15] + w2 * row[:, 15:18])
+        else:
+            n_interp = (
+                (1.0 - w1 - w2) * scene.tri_n0[prim]
+                + w1 * scene.tri_n1[prim]
+                + w2 * scene.tri_n2[prim]
+            )
     else:
         n_interp = None
 
@@ -196,7 +235,7 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
         if nm is None:  # statically texture-free scene — skip the TBN branch
             tri_shading_n = n_interp
         else:
-            tangent = scene.tri_tangent[prim]
+            tangent = row[:, 18:21] if row is not None else scene.tri_tangent[prim]
             bitangent = jnp.cross(n_interp, tangent)
             mapped = (tangent * nm[:, 0:1] + bitangent * nm[:, 1:2]
                       + n_interp * nm[:, 2:3])
@@ -230,7 +269,20 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
         u=jnp.zeros((r,), jnp.float32),
         v=jnp.zeros((r,), jnp.float32),
         backface=jnp.zeros((r,), jnp.bool_),
+        packed=jnp.full((r,), -1, jnp.int32),
     )
+
+    # Fully opaque scene: every visited hit accepts (op >= 1 short-circuits
+    # the stochastic test, mod.rs:201), so the walk is exactly ONE cast with
+    # no opacity sampling, rng draw, or while_loop around it.
+    if steps == 1 and scene.all_opaque:
+        t_prev = jnp.full((r,), -1.0, jnp.float32)
+        hit = closest_hit(o, d, t_prev, scene, block=spec.tri_block,
+                          active=walking if scene.use_bvh else None)
+        found = walking & hit.valid
+        sel = HitRecord(*[jnp.where(found, h, s) for h, s in zip(hit, sel0)])
+        sel = jax.lax.stop_gradient(sel)
+        return sel, found, walking & ~found
 
     def cond(carry):
         k, sel, seen_any, t_prev, active = carry

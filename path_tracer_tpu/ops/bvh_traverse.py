@@ -137,4 +137,5 @@ def closest_hit_triangles_bvh(o, d, t_prev, scene) -> HitRecord:
     )
     i, bt, bi, bu, bv, bb = jax.lax.while_loop(cond, body, init)
     kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
-    return HitRecord(t=bt, kind=kind, prim=bi, u=bu, v=bv, backface=bb)
+    return HitRecord(t=bt, kind=kind, prim=bi, u=bu, v=bv, backface=bb,
+                     packed=jnp.full_like(bi, -1))

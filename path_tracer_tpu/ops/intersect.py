@@ -42,6 +42,10 @@ class HitRecord(NamedTuple):
     u: jnp.ndarray  # [R] f32 barycentric (triangles)
     v: jnp.ndarray  # [R] f32
     backface: jnp.ndarray  # [R] bool: tri det<0 | sphere far-root (inside) hit
+    # Superleaf slot id of a triangle hit (index into scene.sl_attr/sl_map)
+    # when the reporting path knows it (the Pallas BVH kernels); -1 otherwise.
+    # Shading falls back to scene.sl_inv[prim] for -1 lanes.
+    packed: jnp.ndarray  # [R] int32
 
     @property
     def valid(self):
@@ -120,7 +124,8 @@ def closest_hit_triangles(o, d, t_prev, scene, block: int = 512) -> HitRecord:
 
     (bt, bi, bu, bv, bb), _ = jax.lax.scan(body, init, (v0b, e1b, e2b, base))
     kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
-    return HitRecord(t=bt, kind=kind, prim=bi, u=bu, v=bv, backface=bb)
+    return HitRecord(t=bt, kind=kind, prim=bi, u=bu, v=bv, backface=bb,
+                     packed=jnp.full_like(bi, -1))
 
 
 def _sphere_quadratic(o, d, scene):
@@ -174,6 +179,7 @@ def closest_hit_spheres(o, d, t_prev, scene) -> HitRecord:
         u=jnp.zeros_like(tj),
         v=jnp.zeros_like(tj),
         backface=far_root[rows, j],
+        packed=jnp.full(tj.shape, -1, jnp.int32),
     )
 
 
@@ -369,6 +375,7 @@ def _miss_record(r: int) -> HitRecord:
         u=jnp.zeros((r,), jnp.float32),
         v=jnp.zeros((r,), jnp.float32),
         backface=jnp.zeros((r,), jnp.bool_),
+        packed=jnp.full((r,), -1, jnp.int32),
     )
 
 
@@ -497,4 +504,5 @@ def closest_hit(o, d, t_prev, scene, block: int = 512,
         u=pick(tri.u, sph.u),
         v=pick(tri.v, sph.v),
         backface=pick(tri.backface, sph.backface),
+        packed=pick(tri.packed, sph.packed),
     )

@@ -259,6 +259,7 @@ def closest_hit_triangles_packet(o, d, t_prev, scene,
         u=fout[1, :r],
         v=fout[2, :r],
         backface=fout[3, :r] != 0.0,
+        packed=packed,
     )
 
 
@@ -640,6 +641,7 @@ def closest_hit_triangles_flat(o, d, t_prev, scene,
         u=fout[1, :r],
         v=fout[2, :r],
         backface=fout[3, :r] != 0.0,
+        packed=packed,
     )
 
 

@@ -186,4 +186,5 @@ def closest_hit_triangles_pallas(o, d, t_prev, scene,
         u=fout[1, :r],
         v=fout[2, :r],
         backface=fout[3, :r] != 0.0,
+        packed=jnp.full((r,), -1, jnp.int32),
     )

@@ -136,6 +136,7 @@ def closest_hit_spheres_pallas(o, d, t_prev, scene,
         u=jnp.zeros((r,), jnp.float32),
         v=jnp.zeros((r,), jnp.float32),
         backface=fout[1, :r] != 0.0,
+        packed=jnp.full((r,), -1, jnp.int32),
     )
 
 

@@ -145,6 +145,20 @@ class DeviceScene:
     # order is irrelevant; pad columns are marked by block id -1.
     sl_blkflat: jax.Array  # [8, Bpad] f32 (mn.xyz, mx.xyz, 2 pad)
     sl_blkid: jax.Array  # [1, Bpad] i32 block id per column (-1 = pad)
+    # PACKED-ORDER wide shading-attribute table, one row per superleaf slot.
+    # TPU gathers cost ~the same per index regardless of row width (measured:
+    # a [100k,3] and a [100k,32] gather are both ~6 ms at 2^18 indices), so
+    # the ~12 narrow per-triangle gathers shading used to do (sl_map, uv0/1/2,
+    # n0/1/2, tangent, e1/e2, model) collapse into ONE gather of this table
+    # by the kernel's packed hit id. Columns: v0[0:3] e1[3:6] e2[6:9] n0[9:12]
+    # n1[12:15] n2[15:18] tangent[18:21] uv0[21:23] uv1[23:25] uv2[25:27]
+    # model[27] global_prim[28] (both exact as f32; ids < 2^24) pad[29:32].
+    sl_attr: jax.Array  # [n_blocks*512, 32] f32
+    # Inverse of sl_map: global prim id -> packed superleaf slot, for hit
+    # paths that report global ids (brute/jnp tree walk). BVH is a disjoint
+    # partition, so every real triangle has exactly one slot; pad ids map
+    # to slot 0 (their rows are only read behind an is-triangle mask).
+    sl_inv: jax.Array  # [n_pad] i32
     # Lane-major sphere table [4, S_pad] = (cx, cy, cz, r), padded to a
     # 128-lane multiple with guaranteed-miss spheres, for the fused Pallas
     # sphere kernel (ops/pallas_spheres.py).
@@ -402,8 +416,11 @@ def build_device_scene(scene: isf.Scene, root,
                         leaf_size=SL_BLOCK)
         leaf_nodes = np.nonzero(sl.prim_count > 0)[0]
         n_blocks = len(leaf_nodes)
+        assert n_tris < (1 << 24), "f32 prim ids in sl_attr need n < 2^24"
         sl_tris = np.zeros((n_blocks * SL_BLOCK, 9), np.float32)
         sl_map = np.zeros(n_blocks * SL_BLOCK, np.int32)
+        sl_attr = np.zeros((n_blocks * SL_BLOCK, 32), np.float32)
+        sl_inv = np.zeros(n_pad, np.int32)
         meta_leaf = np.zeros(sl.skip.shape[0], np.int32)
         for b, ni in enumerate(leaf_nodes):
             f, c = int(sl.first_prim[ni]), int(sl.prim_count[ni])
@@ -413,6 +430,19 @@ def build_device_scene(scene: isf.Scene, root,
             sl_tris[base : base + c, 3:6] = e1[ids]
             sl_tris[base : base + c, 6:9] = e2[ids]
             sl_map[base : base + c] = ids
+            sl_attr[base : base + c, 0:3] = v0[ids]
+            sl_attr[base : base + c, 3:6] = e1[ids]
+            sl_attr[base : base + c, 6:9] = e2[ids]
+            sl_attr[base : base + c, 9:12] = n0[ids]
+            sl_attr[base : base + c, 12:15] = n1[ids]
+            sl_attr[base : base + c, 15:18] = n2[ids]
+            sl_attr[base : base + c, 18:21] = tangent[ids]
+            sl_attr[base : base + c, 21:23] = uv0[ids]
+            sl_attr[base : base + c, 23:25] = uv1[ids]
+            sl_attr[base : base + c, 25:27] = uv2[ids]
+            sl_attr[base : base + c, 27] = tri_model_arr[ids]
+            sl_attr[base : base + c, 28] = ids
+            sl_inv[ids] = np.arange(base, base + c, dtype=np.int32)
             meta_leaf[ni] = b + 1
         nsl = sl.skip.shape[0]
         from path_tracer_tpu.scene.bvh_layouts import build_directional_layouts
@@ -444,6 +474,8 @@ def build_device_scene(scene: isf.Scene, root,
         sl_meta6[:, 0, 0] = 1
         sl_tris = np.zeros((SL_BLOCK, 9), np.float32)
         sl_map = np.zeros(SL_BLOCK, np.int32)
+        sl_attr = np.zeros((SL_BLOCK, 32), np.float32)
+        sl_inv = np.zeros(n_pad, np.int32)
         sl_blkflat = np.zeros((8, 128), np.float32)
         sl_blkid = np.full((1, 128), -1, np.int32)
 
@@ -537,6 +569,8 @@ def build_device_scene(scene: isf.Scene, root,
         sl_map=jnp.asarray(sl_map),
         sl_blkflat=jnp.asarray(sl_blkflat),
         sl_blkid=jnp.asarray(sl_blkid),
+        sl_attr=jnp.asarray(sl_attr),
+        sl_inv=jnp.asarray(sl_inv),
         sph_packed_t=jnp.asarray(_pack_spheres(centers, radii)),
         no_textures=len(atlas.offsets) == 1,
         num_real_triangles=n_tris,
