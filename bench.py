@@ -70,9 +70,13 @@ def main() -> None:
     def run(n_samples: int, sample_start: int):
         # 2^18-ray tiles measured optimal on v5e (bigger tiles spill the
         # per-bounce intermediates to HBM: 26 -> 16 Mray/s at 2^20).
+        # snapshot=False keeps the timed region free of device->host
+        # transfers: the first readback permanently degrades the axon
+        # tunnel to ~30ms per round trip (PERF.md).
         acc = render_pixel_sums(scene, WIDTH, HEIGHT, sample_start, n_samples,
                                 spec, tile_rays=1 << 18,
-                                samples_per_launch=WARMUP_SAMPLES)
+                                samples_per_launch=WARMUP_SAMPLES,
+                                snapshot=False)
         jax.block_until_ready(acc)
         return acc
 

@@ -54,13 +54,21 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
                       tile_rays: int = 1 << 16,
                       samples_per_launch: int = 1,
                       pass_callback=None,
-                      init_accum: np.ndarray | None = None) -> np.ndarray:
+                      init_accum: np.ndarray | None = None,
+                      snapshot: bool = True) -> np.ndarray:
     """Radiance sums [W*H, 3] over n_samples consecutive sample ids.
 
     The tiles x sample-batches launch loop without post-processing — used by
     the renderer, the benchmark, and checkpointed renders. ``pass_callback``
     (if given) is called as cb(samples_done, accum_fn) after each sample
     batch, where accum_fn() transfers the current [W*H,3] sums to host.
+
+    ``snapshot=False`` skips the final device->host transfer and returns the
+    raw per-tile device accumulators (Morton pixel order) instead. Callers
+    that only need completion (benchmarks) use this: the FIRST device->host
+    readback flips the axon TPU tunnel into a degraded ~30ms-per-round-trip
+    mode for the rest of the process (measured, PERF.md), so timed regions
+    must stay transfer-free.
     """
     n_pix = width * height
     tile = min(tile_rays, max(1, n_pix))
@@ -109,7 +117,7 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
                 f"tile size {tile} not divisible by {len(devices)} devices; "
                 "rendering single-device", stacklevel=2)
 
-    def snapshot():
+    def take_snapshot():
         rows = np.concatenate([np.asarray(a) for a in accs], axis=0)[:n_pix]
         out = np.empty_like(rows)
         out[morton] = rows  # back to linear pixel order
@@ -132,8 +140,10 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
                                             k, spec)
         sample += k
         if pass_callback is not None:
-            pass_callback(sample - sample_start, snapshot)
-    return snapshot()
+            pass_callback(sample - sample_start, take_snapshot)
+    if not snapshot:
+        return accs
+    return take_snapshot()
 
 
 def render(scene, profile: Profile, progress: bool = False,

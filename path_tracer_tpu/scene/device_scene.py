@@ -507,6 +507,13 @@ def build_device_scene(scene: isf.Scene, root,
 
     import jax.numpy as jnp
 
+    # Pack spheres from the HOST arrays before any jnp conversion: a single
+    # device->host readback permanently degrades the axon tunnel's round-trip
+    # latency (~0.06ms -> ~30ms for EVERY later dispatch+block), so the build
+    # must never touch device arrays with numpy (measured; see PERF.md
+    # "device->host mode switch").
+    sph_packed_t_np = _pack_spheres(centers, radii)
+
     f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
     i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
     v0, e1, e2, uv0, uv1, uv2, tangent = map(
@@ -571,7 +578,7 @@ def build_device_scene(scene: isf.Scene, root,
         sl_blkid=jnp.asarray(sl_blkid),
         sl_attr=jnp.asarray(sl_attr),
         sl_inv=jnp.asarray(sl_inv),
-        sph_packed_t=jnp.asarray(_pack_spheres(centers, radii)),
+        sph_packed_t=jnp.asarray(sph_packed_t_np),
         no_textures=len(atlas.offsets) == 1,
         num_real_triangles=n_tris,
         num_real_spheres=len(sph_radius),

@@ -7,6 +7,7 @@ loss, (b) the assembled multi-process image equals a single-process render
 bit-for-bit (the counter RNG is layout-invariant), (c) parameter updates
 moved identically on both processes.
 """
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -24,12 +25,17 @@ def test_two_process_distributed(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 
+    # The workers must import path_tracer_tpu even when the package is not
+    # pip-installed (cwd alone is not on a subprocess's sys.path).
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+
     outs = [tmp_path / f"proc{i}.npz" for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(i), "2", str(port), str(outs[i])],
-            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True)
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
         for i in range(2)
     ]
     logs = []
