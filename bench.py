@@ -70,19 +70,27 @@ def main() -> None:
     def run(n_samples: int, sample_start: int):
         # 2^18-ray tiles measured optimal on v5e (bigger tiles spill the
         # per-bounce intermediates to HBM: 26 -> 16 Mray/s at 2^20).
-        # snapshot=False keeps the timed region free of device->host
-        # transfers: the first readback permanently degrades the axon
-        # tunnel to ~30ms per round trip (PERF.md).
+        # snapshot=False skips the full-image readback; sync() below forces
+        # REAL completion with a tiny per-tile readback instead.
         acc = render_pixel_sums(scene, WIDTH, HEIGHT, sample_start, n_samples,
                                 spec, tile_rays=1 << 18,
                                 samples_per_launch=WARMUP_SAMPLES,
                                 snapshot=False)
-        jax.block_until_ready(acc)
         return acc
 
-    run(WARMUP_SAMPLES, 1)  # compile
+    def sync(accs):
+        # block_until_ready is NOT a real barrier on the axon tunnel before
+        # the process's first device->host readback (completion futures
+        # resolve at dispatch) — a timed region MUST end with a readback or
+        # it measures dispatch only (PERF.md "readback mode switch").
+        import numpy as np
+
+        for a in accs:
+            np.asarray(a[0, 0])
+
+    sync(run(WARMUP_SAMPLES, 1))  # compile + drain warmup work
     t0 = time.perf_counter()
-    run(TIMED_SAMPLES, 1 + WARMUP_SAMPLES)
+    sync(run(TIMED_SAMPLES, 1 + WARMUP_SAMPLES))
     elapsed = time.perf_counter() - t0
 
     rays = n_pix * TIMED_SAMPLES * (BOUNCES + 1)
