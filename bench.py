@@ -63,7 +63,7 @@ def main() -> None:
         scene = sphere_grid_device_scene()
 
     # PT_COMPACT=1 A/B: live-ray compaction between bounces (PERF.md).
-    spec = IntegratorSpec(bounces=BOUNCES,
+    spec = IntegratorSpec(bounces=BOUNCES, differentiable=False,
                           compact=os.environ.get("PT_COMPACT") == "1")
     n_pix = WIDTH * HEIGHT
 

@@ -66,6 +66,12 @@ class IntegratorSpec:
     shadow_walk_steps: int = 8
     seed: int = 0
     tri_block: int = 512
+    # True preserves exact parameter gradients (live factor-table reads, AD-
+    # safe hit reparameterization). Forward-only rendering sets False: shading
+    # then reads the baked material columns of the ONE wide sl_attr row
+    # gather and skips the reparameterization algebra — identical radiance
+    # (same values, same formulas), measurably cheaper per bounce.
+    differentiable: bool = True
     # Live-ray compaction between bounces (SURVEY §2c experiment): partition
     # every wavefront array alive-first before each bounce so dead lanes
     # cluster into all-dead tiles. Measured on the showcase: the partition's
@@ -91,13 +97,14 @@ def _dot(a, b):
 
 
 def _tri_attr(scene, hit: HitRecord):
-    """[R,32] packed shading-attribute rows for triangle hits, or None.
+    """[R,ATTR_W] packed shading-attribute rows for hits, or None.
 
-    One wide gather of scene.sl_attr replaces the ~12 narrow per-triangle
+    One wide gather of scene.sl_attr replaces the ~12 narrow per-primitive
     gathers shading otherwise issues (TPU gather cost is ~row-width-invariant;
     see DeviceScene.sl_attr). Kernel paths report the slot id directly
-    (hit.packed); jnp fallback paths map global->slot via sl_inv. Non-triangle
-    lanes read slot 0 — their values are masked out by callers.
+    (hit.packed); sphere hits carry packed = sph_row_base + index (their
+    material-only rows); jnp fallback paths map global->slot via sl_inv.
+    Miss lanes read slot 0 — their values are masked out by callers.
     """
     if not (getattr(scene, "use_bvh", False) and scene.num_real_triangles):
         return None
@@ -105,7 +112,8 @@ def _tri_attr(scene, hit: HitRecord):
 
     packed = hit.packed
     if not _on_tpu():
-        # CPU BVH walk reports global prim ids only.
+        # CPU BVH walk reports global prim ids only (sphere lanes already
+        # carry their row id from the closest_hit merge).
         prim = jnp.minimum(jnp.maximum(hit.prim, 0), scene.sl_inv.shape[0] - 1)
         packed = jnp.where(packed >= 0, packed, scene.sl_inv[prim])
     return scene.sl_attr[jnp.maximum(packed, 0)]
@@ -137,13 +145,19 @@ def _hit_model_uv(scene, hit: HitRecord, row=None):
         tri_model = scene.tri_model[prim]
     if scene.num_real_spheres == 0:
         return tri_model, uv, jnp.zeros_like(is_tri)
-    model = jnp.where(is_tri, tri_model,
-                      scene.sph_model[jnp.minimum(prim, scene.sph_model.shape[0] - 1)])
+    if row is not None:
+        # Sphere rows bake their model id in the same column — the wide
+        # gather already covered every lane, no sph_model gather needed.
+        model = tri_model
+    else:
+        model = jnp.where(is_tri, tri_model,
+                          scene.sph_model[jnp.minimum(prim, scene.sph_model.shape[0] - 1)])
     uv = jnp.where(is_tri[:, None], uv, 0.0)
     return model, uv, ~is_tri
 
 
-def _surface(scene, hit: HitRecord, o, d) -> Surface:
+def _surface(scene, hit: HitRecord, o, d, row=None,
+             differentiable: bool = True) -> Surface:
     """Gather shading geometry at the selected hits (ref hit.rs:100-137,55-82)."""
     is_tri = hit.kind == KIND_TRIANGLE
     prim = jnp.maximum(hit.prim, 0)
@@ -153,42 +167,50 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
     # inf would still poison reverse-mode AD through jnp.where (0 * inf).
     t_safe = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
 
-    # Planar reparameterization of the hit distance: t is a discrete
-    # intersector output (detached), so pos = o + t*d alone gives gradients
-    # that move the hit point OFF the surface when o/d depend on parameters
-    # (camera transform). Recomputing t as the ray/plane intersection with a
-    # DETACHED anchor point and surface plane — t = ((p0-o).n0)/(d.n0) —
-    # is value-identical (p0 = o + t d lies on the plane) but its derivative
-    # slides the hit point ALONG the surface, making camera/geometry
-    # gradients first-order exact away from silhouettes (tangent-plane
-    # approximation for spheres). Grazing lanes (|d.n0| ~ 0) fall back to
-    # the detached t.
     sg = jax.lax.stop_gradient
-    p0 = sg(o + d * t_safe[:, None])
-    row = _tri_attr(scene, hit)
-    if scene.num_real_triangles != 0:
-        if row is not None:
-            face_n = jnp.cross(row[:, 3:6], row[:, 6:9])
+    if row is None:
+        row = _tri_attr(scene, hit)
+    if not differentiable:
+        # Forward rendering: pos = o + t d directly. The planar
+        # reparameterization below is VALUE-identical (p0 lies on the hit
+        # plane) — it exists purely so AD slides the hit point along the
+        # surface instead of off it.
+        pos = o + d * t_safe[:, None]
+    else:
+        # Planar reparameterization of the hit distance: t is a discrete
+        # intersector output (detached), so pos = o + t*d alone gives
+        # gradients that move the hit point OFF the surface when o/d depend
+        # on parameters (camera transform). Recomputing t as the ray/plane
+        # intersection with a DETACHED anchor point and surface plane —
+        # t = ((p0-o).n0)/(d.n0) — is value-identical (p0 = o + t d lies on
+        # the plane) but its derivative slides the hit point ALONG the
+        # surface, making camera/geometry gradients first-order exact away
+        # from silhouettes (tangent-plane approximation for spheres).
+        # Grazing lanes (|d.n0| ~ 0) fall back to the detached t.
+        p0 = sg(o + d * t_safe[:, None])
+        if scene.num_real_triangles != 0:
+            if row is not None:
+                face_n = jnp.cross(row[:, 3:6], row[:, 6:9])
+            else:
+                face_n = jnp.cross(scene.tri_e1[prim], scene.tri_e2[prim])
         else:
-            face_n = jnp.cross(scene.tri_e1[prim], scene.tri_e2[prim])
-    else:
-        face_n = None
-    if scene.num_real_spheres != 0:
-        sph_plane_n = p0 - scene.sph_center[sph_i]
-    else:
-        sph_plane_n = None
-    if face_n is None:
-        plane_n = sph_plane_n
-    elif sph_plane_n is None:
-        plane_n = face_n
-    else:
-        plane_n = jnp.where(is_tri[:, None], face_n, sph_plane_n)
-    plane_n = sg(plane_n)
-    dn = _dot(d, plane_n)
-    ok_plane = jnp.abs(dn) > 1e-12 * sg(jnp.abs(_dot(p0 - o, plane_n)) + 1.0)
-    t_plane = _dot(p0 - o, plane_n) / jnp.where(ok_plane, dn, 1.0)
-    t_rep = jnp.where(ok_plane & jnp.isfinite(hit.t), t_plane, t_safe)
-    pos = o + d * t_rep[:, None]
+            face_n = None
+        if scene.num_real_spheres != 0:
+            sph_plane_n = p0 - scene.sph_center[sph_i]
+        else:
+            sph_plane_n = None
+        if face_n is None:
+            plane_n = sph_plane_n
+        elif sph_plane_n is None:
+            plane_n = face_n
+        else:
+            plane_n = jnp.where(is_tri[:, None], face_n, sph_plane_n)
+        plane_n = sg(plane_n)
+        dn = _dot(d, plane_n)
+        ok_plane = jnp.abs(dn) > 1e-12 * sg(jnp.abs(_dot(p0 - o, plane_n)) + 1.0)
+        t_plane = _dot(p0 - o, plane_n) / jnp.where(ok_plane, dn, 1.0)
+        t_rep = jnp.where(ok_plane & jnp.isfinite(hit.t), t_plane, t_safe)
+        pos = o + d * t_rep[:, None]
     model, uv, simple = _hit_model_uv(scene, hit, row=row)
 
     # Triangle: barycentric vertex-normal interpolation (NOT normalized).
@@ -231,7 +253,7 @@ def _surface(scene, hit: HitRecord, o, d) -> Surface:
         normal = sph_n
     else:
         # Normal mapping (triangles with a normal texture): TBN*map, normed.
-        nm, has_map = texturing.sample_normal_map(scene, model, uv)
+        nm, has_map = texturing.sample_normal_map(scene, model, uv, rows=row)
         if nm is None:  # statically texture-free scene — skip the TBN branch
             tri_shading_n = n_interp
         else:
@@ -294,8 +316,11 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
                           active=active if scene.use_bvh else None)
         found = active & hit.valid
         # Opacity of this candidate hit at its own UV/type.
-        model, uv, simple = _hit_model_uv(scene, hit)
-        op = texturing.sample_opacity(scene, model, uv, simple)
+        walk_row = _tri_attr(scene, hit)
+        model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
+        op = texturing.sample_opacity(
+            scene, model, uv, simple,
+            rows=None if spec.differentiable else walk_row)
         rnd = rng.uniform(pixel_ids, sample_id,
                           rng.SITE_ALPHA + k + rng.SITE_STRIDE * bounce, spec.seed)
         accept = (op >= 1.0) | ((op > ALPHA_MIN_OPACITY) & (rnd < op))
@@ -363,7 +388,8 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
         hit = closest_hit(s_o, s_d, t_prev, scene, block=spec.tri_block,
                           active=walking if scene.use_bvh else None)
         found = walking & hit.valid
-        model, uv, simple = _hit_model_uv(scene, hit)
+        walk_row = _tri_attr(scene, hit)
+        model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
         if point_dist is not None:
             # Behind-the-light cutoff measured from the ORIGINAL surface point.
             occ_pos = s_o + s_d * jnp.where(
@@ -372,7 +398,9 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
             behind = occ_dist > point_dist
             found = found & ~behind
             uv, simple = orig_model_uv  # original hit's UV and hit-type
-        op = texturing.sample_opacity(scene, model, uv, simple)
+        op = texturing.sample_opacity(
+            scene, model, uv, simple,
+            rows=None if spec.differentiable else walk_row)
         trans = jnp.where(found, trans * (1.0 - op), trans)
         walking = found & (trans != 0.0)
         t_prev = jnp.where(walking, hit.t, t_prev)
@@ -433,8 +461,12 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
                           color + throughput * scene.background, color)
         alive = alive & ~first_missed
 
-        surf = _surface(scene, sel, o, d)
-        mat = texturing.sample_material(scene, surf.model, surf.uv, surf.simple)
+        row = _tri_attr(scene, sel)
+        surf = _surface(scene, sel, o, d, row=row,
+                        differentiable=spec.differentiable)
+        mat = texturing.sample_material(
+            scene, surf.model, surf.uv, surf.simple,
+            rows=None if spec.differentiable else row)
         f0 = brdf.compute_f0(mat.metalness, mat.albedo)
         view = -d
 
@@ -443,15 +475,23 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
 
         shadow_o = surf.pos + surf.geom_normal * NORMAL_BIAS
 
-        # With no emissive anywhere, a lane facing AWAY from a light
-        # contributes exactly zero (both BRDF terms carry max(n.l, 0) and
-        # the emissive-in-eval_direct quirk term vanishes) — skip its shadow
-        # cast. On closed geometry this kills ~half the lanes per light and
+        # A lane facing AWAY from a light contributes exactly zero UNLESS its
+        # hit material is emissive (both BRDF terms carry max(n.l, 0); the
+        # only surviving eval_direct term is the emissive-in-eval_direct
+        # quirk, cook_torrance.rs:57, which needs the light's attenuated
+        # radiance) — skip the shadow cast for facing-away non-emissive
+        # lanes. On closed geometry this kills ~half the lanes per light and
         # whole Morton tiles exit the occlusion walk immediately.
+        if scene.no_emissive:
+            emissive_lane = None
+        else:
+            emissive_lane = jnp.sum(jnp.abs(mat.emissive), axis=-1) != 0.0
+
         def shadow_active(l_dir):
-            if not scene.no_emissive:
-                return alive
-            return alive & (_dot(surf.normal, l_dir) > 0.0)
+            facing = _dot(surf.normal, l_dir) > 0.0
+            if emissive_lane is not None:
+                facing = facing | emissive_lane
+            return alive & facing
 
         # Point-light geometry precomputed once; shared by the batched
         # occlusion call and the shading loop below.

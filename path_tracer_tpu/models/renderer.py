@@ -30,6 +30,9 @@ def integrator_spec(profile: Profile) -> IntegratorSpec:
         alpha_walk_steps=profile.alpha_walk_steps,
         shadow_walk_steps=profile.shadow_walk_steps,
         seed=profile.seed,
+        # Pure rendering: skip the AD-only reparameterization and read baked
+        # material rows (identical radiance, cheaper bounce; integrator.py).
+        differentiable=False,
     )
 
 

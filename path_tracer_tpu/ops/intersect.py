@@ -490,6 +490,13 @@ def closest_hit(o, d, t_prev, scene, block: int = 512,
         sph = closest_hit_spheres_pallas(o, d, t_prev, scene)
     else:
         sph = closest_hit_spheres(o, d, t_prev, scene)
+    if has_sphs and getattr(scene, "sph_row_base", 0):
+        # Sphere hits address their sl_attr shading row directly (one wide
+        # gather covers both primitive kinds; see DeviceScene.sph_row_base).
+        sph = sph._replace(
+            packed=jnp.where(sph.kind == KIND_SPHERE,
+                             scene.sph_row_base + jnp.maximum(sph.prim, 0),
+                             sph.packed))
     if not has_tris:
         return sph
     if not has_sphs:

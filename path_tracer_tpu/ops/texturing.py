@@ -17,6 +17,12 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from path_tracer_tpu.scene.device_scene import (
+    ATTR_ALBEDO_F, ATTR_ALBEDO_T, ATTR_EMISSIVE_F, ATTR_EMISSIVE_T,
+    ATTR_IOR, ATTR_METAL_F, ATTR_METAL_T, ATTR_NORMAL_T, ATTR_OPACITY_F,
+    ATTR_OPACITY_T, ATTR_ROUGH_F, ATTR_ROUGH_T,
+)
+
 
 def _fetch(scene, tex_id, uv):
     """Raw texel [R,3] in [0,1] for tex ids [R] (clamped; caller masks -1)."""
@@ -64,15 +70,46 @@ class MaterialSample(NamedTuple):
     ior: jnp.ndarray  # [R]
 
 
-def sample_opacity(scene, model_id, uv, simple):
-    """Opacity only — the alpha walk's accept test needs nothing else."""
+def sample_opacity(scene, model_id, uv, simple, rows=None):
+    """Opacity only — the alpha walk's accept test needs nothing else.
+
+    ``rows``: optional pre-gathered sl_attr rows; factors and texture ids
+    then come from the baked ATTR_* columns instead of model-indexed
+    gathers (forward rendering only — baked factors carry no gradients).
+    """
+    if rows is not None:
+        return sample_gray(scene, rows[:, ATTR_OPACITY_T].astype(jnp.int32),
+                           uv, rows[:, ATTR_OPACITY_F], simple)
     return sample_gray(
         scene, scene.mat_opacity_tex[model_id], uv,
         scene.mat_opacity_factor[model_id], simple,
     )
 
 
-def sample_material(scene, model_id, uv, simple) -> MaterialSample:
+def sample_material(scene, model_id, uv, simple, rows=None) -> MaterialSample:
+    """Full material sample. ``rows`` (optional): baked sl_attr rows replace
+    every model-indexed factor/texture-id gather with column slices of the
+    one wide row gather (non-differentiable render path only)."""
+    if rows is not None:
+        ti = lambda c: rows[:, c].astype(jnp.int32)
+        return MaterialSample(
+            albedo=sample_rgb(scene, ti(ATTR_ALBEDO_T), uv,
+                              rows[:, ATTR_ALBEDO_F:ATTR_ALBEDO_F + 3],
+                              simple, linearize=True),
+            emissive=sample_rgb(scene, ti(ATTR_EMISSIVE_T), uv,
+                                rows[:, ATTR_EMISSIVE_F:ATTR_EMISSIVE_F + 3],
+                                simple, linearize=False),
+            opacity=sample_gray(scene, ti(ATTR_OPACITY_T), uv,
+                                rows[:, ATTR_OPACITY_F], simple),
+            metalness=sample_gray(scene, ti(ATTR_METAL_T), uv,
+                                  rows[:, ATTR_METAL_F], simple),
+            roughness=jnp.maximum(
+                sample_gray(scene, ti(ATTR_ROUGH_T), uv,
+                            rows[:, ATTR_ROUGH_F], simple),
+                1e-4,
+            ),
+            ior=rows[:, ATTR_IOR],
+        )
     m = model_id
     return MaterialSample(
         albedo=sample_rgb(scene, scene.mat_albedo_tex[m], uv,
@@ -92,13 +129,16 @@ def sample_material(scene, model_id, uv, simple) -> MaterialSample:
     )
 
 
-def sample_normal_map(scene, model_id, uv):
+def sample_normal_map(scene, model_id, uv, rows=None):
     """Decoded normal-map vector [R,3] (texel*2-1) and a has-map mask.
 
     Returns (None, None) when the scene has no textures at all — the caller
     skips the whole TBN branch statically."""
     if scene.no_textures:
         return None, None
-    tex_id = scene.mat_normal_tex[model_id]
+    if rows is not None:
+        tex_id = rows[:, ATTR_NORMAL_T].astype(jnp.int32)
+    else:
+        tex_id = scene.mat_normal_tex[model_id]
     texel = _fetch(scene, tex_id, uv)
     return texel * 2.0 - 1.0, tex_id >= 0

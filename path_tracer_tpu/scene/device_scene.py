@@ -43,6 +43,42 @@ def _pad_to(n: int, m: int) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
 
+# Wide shading-attribute row layout (DeviceScene.sl_attr, one row per packed
+# triangle slot plus one row per sphere). Columns 0-28 are geometry/ids;
+# 29+ bake the row's MATERIAL (factors + texture ids) so the forward render
+# needs a single gather per bounce. Texture ids are stored as float (small
+# ints, exact in f32).
+ATTR_W = 48
+ATTR_ALBEDO_F = 29      # 29:32  albedo factor rgb
+ATTR_EMISSIVE_F = 32    # 32:35  emissive factor rgb
+ATTR_OPACITY_F = 35
+ATTR_METAL_F = 36
+ATTR_ROUGH_F = 37
+ATTR_IOR = 38
+ATTR_ALBEDO_T = 39
+ATTR_EMISSIVE_T = 40
+ATTR_OPACITY_T = 41
+ATTR_METAL_T = 42
+ATTR_ROUGH_T = 43
+ATTR_NORMAL_T = 44
+
+
+def _bake_material_rows(attr: np.ndarray, model_ids: np.ndarray, mats) -> None:
+    """Fill ATTR_* material columns of ``attr`` from per-model tables."""
+    af = np.asarray(mats["albedo_f"], np.float32).reshape(-1, 3)
+    ef = np.asarray(mats["emissive_f"], np.float32).reshape(-1, 3)
+    attr[:, ATTR_ALBEDO_F:ATTR_ALBEDO_F + 3] = af[model_ids]
+    attr[:, ATTR_EMISSIVE_F:ATTR_EMISSIVE_F + 3] = ef[model_ids]
+    attr[:, ATTR_OPACITY_F] = np.asarray(mats["opacity_f"], np.float32)[model_ids]
+    attr[:, ATTR_METAL_F] = np.asarray(mats["metal_f"], np.float32)[model_ids]
+    attr[:, ATTR_ROUGH_F] = np.asarray(mats["rough_f"], np.float32)[model_ids]
+    attr[:, ATTR_IOR] = np.asarray(mats["ior"], np.float32)[model_ids]
+    for col, key in ((ATTR_ALBEDO_T, "albedo_t"), (ATTR_EMISSIVE_T, "emissive_t"),
+                     (ATTR_OPACITY_T, "opacity_t"), (ATTR_METAL_T, "metal_t"),
+                     (ATTR_ROUGH_T, "rough_t"), (ATTR_NORMAL_T, "normal_t")):
+        attr[:, col] = np.asarray(mats[key], np.float32)[model_ids]
+
+
 def _pack_spheres(centers: np.ndarray, radii: np.ndarray) -> np.ndarray:
     """[4, S_pad] lane-major sphere table padded with guaranteed misses."""
     s = centers.shape[0]
@@ -152,8 +188,10 @@ class DeviceScene:
     # n0/1/2, tangent, e1/e2, model) collapse into ONE gather of this table
     # by the kernel's packed hit id. Columns: v0[0:3] e1[3:6] e2[6:9] n0[9:12]
     # n1[12:15] n2[15:18] tangent[18:21] uv0[21:23] uv1[23:25] uv2[25:27]
-    # model[27] global_prim[28] (both exact as f32; ids < 2^24) pad[29:32].
-    sl_attr: jax.Array  # [n_blocks*512, 32] f32
+    # model[27] global_prim[28] (both exact as f32; ids < 2^24), then baked
+    # material factors/texture-ids at the ATTR_* columns (module constants).
+    # Rows [sph_row_base:] are per-sphere rows (material columns only).
+    sl_attr: jax.Array  # [n_blocks*512 + n_sph, ATTR_W] f32
     # Inverse of sl_map: global prim id -> packed superleaf slot, for hit
     # paths that report global ids (brute/jnp tree walk). BVH is a disjoint
     # partition, so every real triangle has exactly one slot; pad ids map
@@ -191,6 +229,12 @@ class DeviceScene:
     # and sphere arrays to >= 1 even when the scene has none).
     num_real_triangles: int = dataclasses.field(
         metadata=dict(static=True), default=-1
+    )
+    # First sphere row in sl_attr (= number of triangle-slot rows). Sphere
+    # hit records carry packed = sph_row_base + sphere_index so the wide
+    # shading gather covers both primitive kinds.
+    sph_row_base: int = dataclasses.field(
+        metadata=dict(static=True), default=0
     )
     num_real_spheres: int = dataclasses.field(
         metadata=dict(static=True), default=-1
@@ -419,7 +463,7 @@ def build_device_scene(scene: isf.Scene, root,
         assert n_tris < (1 << 24), "f32 prim ids in sl_attr need n < 2^24"
         sl_tris = np.zeros((n_blocks * SL_BLOCK, 9), np.float32)
         sl_map = np.zeros(n_blocks * SL_BLOCK, np.int32)
-        sl_attr = np.zeros((n_blocks * SL_BLOCK, 32), np.float32)
+        sl_attr = np.zeros((n_blocks * SL_BLOCK, ATTR_W), np.float32)
         sl_inv = np.zeros(n_pad, np.int32)
         meta_leaf = np.zeros(sl.skip.shape[0], np.int32)
         for b, ni in enumerate(leaf_nodes):
@@ -444,6 +488,11 @@ def build_device_scene(scene: isf.Scene, root,
             sl_attr[base : base + c, 28] = ids
             sl_inv[ids] = np.arange(base, base + c, dtype=np.int32)
             meta_leaf[ni] = b + 1
+        # Baked per-row material columns (ATTR_* layout below): factors and
+        # texture ids copied from the row's model so shading needs NO separate
+        # model-indexed gathers (used only on the non-differentiable render
+        # path — training reads the live factor arrays so gradients flow).
+        _bake_material_rows(sl_attr, sl_attr[:, 27].astype(np.int32), mats)
         nsl = sl.skip.shape[0]
         from path_tracer_tpu.scene.bvh_layouts import build_directional_layouts
 
@@ -474,7 +523,7 @@ def build_device_scene(scene: isf.Scene, root,
         sl_meta6[:, 0, 0] = 1
         sl_tris = np.zeros((SL_BLOCK, 9), np.float32)
         sl_map = np.zeros(SL_BLOCK, np.int32)
-        sl_attr = np.zeros((SL_BLOCK, 32), np.float32)
+        sl_attr = np.zeros((SL_BLOCK, ATTR_W), np.float32)
         sl_inv = np.zeros(n_pad, np.int32)
         sl_blkflat = np.zeros((8, 128), np.float32)
         sl_blkid = np.full((1, 128), -1, np.int32)
@@ -489,6 +538,18 @@ def build_device_scene(scene: isf.Scene, root,
         centers[: len(sph_radius)] = np.asarray(sph_center, np.float32)
         radii[: len(sph_radius)] = np.asarray(sph_radius, np.float32)
         sph_model_arr[: len(sph_radius)] = np.asarray(sph_model, np.int32)
+
+    # Sphere shading rows appended to sl_attr: closest_hit reports sphere
+    # hits with packed = sph_row_base + prim, so one wide gather serves both
+    # primitive kinds (geometry columns stay zero — sphere shading derives
+    # them analytically).
+    sph_row_base = sl_attr.shape[0]
+    sph_rows = np.zeros((n_sph, ATTR_W), np.float32)
+    if sph_radius:
+        sm = np.asarray(sph_model, np.int32)
+        sph_rows[: len(sph_radius), 27] = sm
+        _bake_material_rows(sph_rows[: len(sph_radius)], sm, mats)
+    sl_attr = np.concatenate([sl_attr, sph_rows], axis=0)
 
     # Lights
     points = [l for l in scene.lights if isinstance(l, isf.PointLight)]
@@ -582,6 +643,7 @@ def build_device_scene(scene: isf.Scene, root,
         no_textures=len(atlas.offsets) == 1,
         num_real_triangles=n_tris,
         num_real_spheres=len(sph_radius),
+        sph_row_base=sph_row_base,
         bvh_leaf_size=leaf_size,
         bvh_n_nodes=nn,
         sl_n_nodes=nsl,
