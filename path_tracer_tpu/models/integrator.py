@@ -416,11 +416,23 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
 
 
 def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
-                     spec: IntegratorSpec, rays=None):
+                     spec: IntegratorSpec, rays=None, exchange=None,
+                     lane_ids=None):
     """Trace one sample for a wavefront of pixels. Returns radiance [R,3].
 
     pixel_ids: [R] int32 (y*width+x). rays optionally overrides camera ray
     generation with (origins, dirs).
+
+    exchange: optional callable applied to the FULL wavefront state tuple
+    ``(o, d, color, throughput, alive, pix, orig)`` at the start of every
+    bounce — the hook for cross-shard live-ray rebalancing (SURVEY §2c;
+    parallel/render.py builds an all_to_all exchange from it). The hook may
+    permute lanes arbitrarily, including ACROSS shards: every per-lane RNG
+    site keys off the lane's travelling pixel id, so radiance is
+    permutation-invariant. With ``exchange`` set, the return value is
+    ``(color [R,3], orig [R])`` — lanes are still in exchanged order and
+    ``orig`` (seeded from ``lane_ids``, default arange) says where each
+    lane's radiance belongs; the caller inverts globally.
     """
     from path_tracer_tpu.ops.camera import generate_rays
 
@@ -442,13 +454,17 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
     # reference unrolls per pixel, src/renderer/mod.rs:180; unrolling here
     # would multiply XLA program size by bounces+1). ``bounce`` is traced:
     # last-bounce/RR behavior is masked, and rng sites offset by it.
+    track_origin = spec.compact or exchange is not None
+
     def bounce_body(carry, bounce):
-        if spec.compact:
-            o, d, color, throughput, alive, pix, orig = carry
-            perm = jnp.argsort(~alive)  # stable: alive lanes first
-            o, d, color, throughput, alive, pix, orig = (
-                o[perm], d[perm], color[perm], throughput[perm],
-                alive[perm], pix[perm], orig[perm])
+        if track_origin:
+            state = carry
+            if exchange is not None:
+                state = exchange(state)
+            else:
+                perm = jnp.argsort(~state[4])  # stable: alive lanes first
+                state = tuple(x[perm] for x in state)
+            o, d, color, throughput, alive, pix, orig = state
         else:
             o, d, color, throughput, alive = carry
             pix = pixel_ids
@@ -594,16 +610,19 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
                           rng.SITE_RR + rng.SITE_STRIDE * bounce, spec.seed)
         alive = alive & ~(rr & (rnd > p))
 
-        if spec.compact:
+        if track_origin:
             return (o, d, color, throughput, alive, pix, orig), None
         return (o, d, color, throughput, alive), None
 
-    if spec.compact:
-        orig0 = jnp.arange(r, dtype=jnp.int32)
+    if track_origin:
+        orig0 = (lane_ids if lane_ids is not None
+                 else jnp.arange(r, dtype=jnp.int32))
         init = (o, d, color, throughput, alive, pixel_ids, orig0)
         (_, _, color, _, _, _, orig), _ = jax.lax.scan(
             bounce_body, init, jnp.arange(spec.bounces + 1, dtype=jnp.int32)
         )
+        if exchange is not None:
+            return color, orig  # caller inverts the (cross-shard) placement
         return jnp.zeros_like(color).at[orig].set(color)
     init = (o, d, color, throughput, alive)
     (o, d, color, throughput, alive), _ = jax.lax.scan(

@@ -10,6 +10,8 @@ and an inverse permutation scatters results back.
 """
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 
@@ -56,7 +58,7 @@ def sort_permutation(keys):
 
 
 def morton_pixel_order(width: int, height: int, tile: int = 16):
-    """HOST-side coherent pixel ordering [W*H] (numpy int32).
+    """HOST-side coherent pixel ordering [W*H] (numpy int32, read-only).
 
     Pixels grouped into tile x tile screen blocks (tile-major, raster within
     the block): a 256-lane packet then covers a 16x16 screen square instead
@@ -65,7 +67,16 @@ def morton_pixel_order(width: int, height: int, tile: int = 16):
     scanline order vs 25.5 ms device-Morton-sorted — host ordering beats the
     device sort AND saves the ~20 ms sort+gather per cast, so the renderer
     feeds wavefronts in this order and casts skip device sorting entirely.
+
+    Cached per (width, height, tile): the 1080p argsort costs ~0.9 s of host
+    time, ~5% of a 16-spp showcase frame when recomputed per render call
+    (measured by tests/tools/bench_probe.py).
     """
+    return _morton_pixel_order_cached(width, height, tile)
+
+
+@functools.lru_cache(maxsize=8)
+def _morton_pixel_order_cached(width: int, height: int, tile: int):
     import numpy as np
 
     ids = np.arange(width * height, dtype=np.int64)
@@ -74,4 +85,6 @@ def morton_pixel_order(width: int, height: int, tile: int = 16):
     key = ((y // tile).astype(np.int64) << 40) \
         | ((x // tile).astype(np.int64) << 20) \
         | ((y % tile) << 10) | (x % tile)
-    return ids[np.argsort(key, kind="stable")].astype(np.int32)
+    out = ids[np.argsort(key, kind="stable")].astype(np.int32)
+    out.flags.writeable = False  # cached: callers must copy to mutate
+    return out

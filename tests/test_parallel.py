@@ -42,6 +42,58 @@ def test_sharded_matches_single(cornell):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_rebalanced_matches_unrebalanced(cornell):
+    """all_to_all live-ray rebalancing must not change the image (SURVEY §2c).
+
+    Every RNG site keys off the lane's travelling pixel id, so moving lanes
+    across shards between bounces is radiance-invariant by construction;
+    this pins it end-to-end: rebalance=True vs False over 2 samples, exact
+    same program semantics → allclose at float tolerance.
+    """
+    from path_tracer_tpu.parallel import default_mesh, render_sharded
+
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    mesh = default_mesh(8)
+    base = render_sharded(cornell, mesh, ids, W, H, jnp.int32(1), 2, SPEC)
+    reb = render_sharded(cornell, mesh, ids, W, H, jnp.int32(1), 2, SPEC,
+                         rebalance=True)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(reb),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_rebalance_equalizes_live_lanes():
+    """The alive-first round-robin all_to_all levels per-shard live counts.
+
+    Direct unit check of the exchange: shard j starts with j live lanes out
+    of 8 (maximally skewed); after one exchange every shard must hold
+    mean±1 live lanes (here 28/8 → 3 or 4).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from path_tracer_tpu.parallel import default_mesh
+    from path_tracer_tpu.parallel.render import _alive_first_all_to_all
+
+    mesh = default_mesh(8)
+    r_local = 8
+    # Shard j: lanes [j*8, j*8+8); alive where lane % 8 < j → j live lanes.
+    lanes = jnp.arange(64, dtype=jnp.int32)
+    alive = (lanes % 8) < (lanes // 8)
+
+    def local(alive):
+        zeros3 = jnp.zeros((r_local, 3), jnp.float32)
+        state = (zeros3, zeros3, zeros3, zeros3, alive,
+                 jnp.zeros((r_local,), jnp.int32),
+                 jnp.zeros((r_local,), jnp.int32))
+        out = _alive_first_all_to_all("dp", 8)(state)
+        return jnp.sum(out[4].astype(jnp.int32))[None]
+
+    counts = jax.shard_map(local, mesh=mesh, in_specs=P("dp"),
+                           out_specs=P("dp"), check_vma=False)(alive)
+    counts = np.asarray(counts)
+    assert counts.sum() == 28  # no lane lost or duplicated
+    assert counts.min() >= 3 and counts.max() <= 4, counts
+
+
 def test_train_step_reduces_loss(cornell):
     from path_tracer_tpu.parallel import (
         default_mesh,
