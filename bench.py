@@ -52,7 +52,9 @@ def main() -> None:
         # PS5-class procedural scene (~100k tris + spheres), packet BVH.
         from path_tracer_tpu.scene.showcase import showcase_device_scene
 
-        scene = showcase_device_scene(use_bvh=True)
+        # PT_SL_BLOCK: superleaf block-size A/B knob (PERF.md sweep).
+        scene = showcase_device_scene(
+            use_bvh=True, sl_block=int(os.environ.get("PT_SL_BLOCK", "512")))
     elif VENDORED_SPHERES.exists():
         scene = load_scene(VENDORED_SPHERES)
     elif REFERENCE_SPHERES.exists():

@@ -42,9 +42,14 @@ class Profile:
     tonemap: str = "FILMIC"
     # --- TPU wavefront knobs (beyond the reference) ---
     # Max closest-hit re-casts when walking stochastic alpha hits per bounce.
-    alpha_walk_steps: int = 8
+    # None (default) = auto: the scene's transparent-hit count + 1, which
+    # makes the bounded walk EXACTLY equivalent to the reference's unbounded
+    # sorted-hit iteration (mod.rs:188-205) — the while_loop early-exits, so
+    # a large bound costs nothing at runtime. An explicit int truncates.
+    alpha_walk_steps: int | None = None
     # Max occluder re-casts when accumulating shadow opacity attenuation.
-    shadow_walk_steps: int = 8
+    # Same auto semantics as alpha_walk_steps (ref mod.rs:283-331).
+    shadow_walk_steps: int | None = None
     # Rays per jitted wavefront launch (pixel tile size, flattened).
     tile_rays: int = 1 << 16
     # Samples accumulated per launch (inner sample batch).
@@ -93,7 +98,7 @@ class Profile:
             "seed",
         ):
             if key in raw:
-                kwargs[key] = int(raw[key])
+                kwargs[key] = None if raw[key] is None else int(raw[key])
         for key in ("brdf", "tonemap"):
             if key in raw:
                 kwargs[key] = str(raw[key])

@@ -62,8 +62,12 @@ class IntegratorSpec:
     """Static integrator parameters (hashable; part of the jit key)."""
 
     bounces: int = 4
-    alpha_walk_steps: int = 8
-    shadow_walk_steps: int = 8
+    # None = auto: size each walk bound to the scene's num_transparent_hits
+    # + 1, which makes the bounded re-cast walk EXACTLY the reference's
+    # unbounded sorted-hit iteration (the while_loop early-exits, so a large
+    # bound is free at runtime). An explicit int truncates the walk.
+    alpha_walk_steps: int | None = None
+    shadow_walk_steps: int | None = None
     seed: int = 0
     tri_block: int = 512
     # True preserves exact parameter gradients (live factor-table reads, AD-
@@ -447,8 +451,15 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
     alive = jnp.ones((r,), jnp.bool_)
 
     # Fully opaque scenes collapse both bounded walks to one cast each.
-    alpha_steps = 1 if scene.all_opaque else spec.alpha_walk_steps
-    shadow_steps = 1 if scene.all_opaque else spec.shadow_walk_steps
+    # Otherwise the auto bound (num_transparent_hits + 1) reproduces the
+    # reference's unbounded walk exactly; explicit spec values truncate.
+    auto_steps = getattr(scene, "num_transparent_hits", 0) + 1
+    alpha_steps = 1 if scene.all_opaque else (
+        spec.alpha_walk_steps if spec.alpha_walk_steps is not None
+        else auto_steps)
+    shadow_steps = 1 if scene.all_opaque else (
+        spec.shadow_walk_steps if spec.shadow_walk_steps is not None
+        else auto_steps)
 
     # The bounce loop is a lax.scan over a single compiled bounce body (the
     # reference unrolls per pixel, src/renderer/mod.rs:180; unrolling here

@@ -224,6 +224,18 @@ class DeviceScene:
     no_emissive: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
+    # Upper bound on the number of POSSIBLY-TRANSPARENT hits any single ray
+    # line can produce: triangles of models whose material can be non-opaque
+    # (opacity factor < 1 or an opacity texture) count once, spheres twice
+    # (near + far root surface on a re-cast). The integrator sizes the alpha
+    # and shadow walk bounds to this + 1 by default, which makes the bounded
+    # re-cast walks EXACTLY equivalent to the reference's unbounded
+    # sorted-hit iteration (ref mod.rs:188-205,283-331): a walk terminates
+    # the step it visits an opaque hit or finds nothing, so it can never
+    # take more than num_transparent_hits + 1 productive steps.
+    num_transparent_hits: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )
     # Real (unpadded) primitive counts; a zero lets the intersector skip the
     # whole primitive class statically (tri arrays are padded to >= _TRI_PAD
     # and sphere arrays to >= 1 even when the scene has none).
@@ -330,8 +342,13 @@ def build_device_scene(scene: isf.Scene, root,
         "opacity_t": [], "metal_t": [], "rough_t": [], "normal_t": [],
     }
 
+    n_transparent_hits = 0
     for model_id, model in enumerate(scene.models):
         m = model.material
+        if m.opacity.factor < 1.0 or m.opacity.texture is not None:
+            # A ray line crosses each triangle once, a sphere up to twice.
+            n_transparent_hits += (len(model.triangles)
+                                   if isinstance(model, isf.Mesh) else 2)
         mats["albedo_f"].append(m.albedo.factor)
         mats["emissive_f"].append(m.emissive.factor)
         mats["opacity_f"].append(m.opacity.factor)
@@ -641,6 +658,7 @@ def build_device_scene(scene: isf.Scene, root,
         sl_inv=jnp.asarray(sl_inv),
         sph_packed_t=jnp.asarray(sph_packed_t_np),
         no_textures=len(atlas.offsets) == 1,
+        num_transparent_hits=n_transparent_hits,
         num_real_triangles=n_tris,
         num_real_spheres=len(sph_radius),
         sph_row_base=sph_row_base,

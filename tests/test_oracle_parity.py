@@ -42,9 +42,10 @@ CASES = {
     "white_furnace_indirect": (2.5, None, 0.02),
     "cube_rr_b6": (2.0, None, 0.02),
     "spheres_rr_b6": (2.5, None, 0.04),
-    # 13 stacked surfaces: walk deeper than the default 8 steps so the
-    # bounded re-cast walk covers the reference's full sorted-hit iteration.
-    "deep_alpha": (2.5, 16, 0.02),
+    # 13 stacked surfaces, walked with the DEFAULT auto bound
+    # (num_transparent_hits + 1): pins that the auto-sized re-cast walk
+    # covers the reference's full sorted-hit iteration with no override.
+    "deep_alpha": (2.5, None, 0.02),
 }
 
 
