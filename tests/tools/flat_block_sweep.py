@@ -38,7 +38,9 @@ def main() -> None:
     W, H = 1920, 1080
     R = 1 << 18
     morton = morton_pixel_order(W, H)
-    pix = jnp.asarray(morton[:R].copy())
+    # PT_CHUNK picks the Morton frame chunk (0=top/sky-heavy, 3=mid/terrain).
+    c = int(os.environ.get("PT_CHUNK", "3"))
+    pix = jnp.asarray(morton[c * R:(c + 1) * R].copy())
 
     @jax.jit
     def cam(scene):
