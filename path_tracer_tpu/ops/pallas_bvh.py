@@ -24,6 +24,7 @@ scene.sl_map.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +39,9 @@ from path_tracer_tpu.ops.intersect import (
     HitRecord,
 )
 
-RAY_TILE = 256  # rays per packet (lane dimension)
+# Rays per packet (lane dimension). Env-tunable for sweeps
+# (tests/tools/bounce_cast_sweep.py); 256 is the measured default.
+RAY_TILE = int(os.environ.get("PT_RAY_TILE", "256"))
 
 
 def _kernel(o_ref, d_ref, tp_ref, nodes6_ref, meta6_ref, tris_ref,
