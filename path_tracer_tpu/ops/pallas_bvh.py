@@ -440,7 +440,7 @@ def _occ_launch(o_t, d_t, t_max, nodes6, meta6, tris_t, n_nodes, block,
 # ---------------------------------------------------------------------------
 
 
-def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, tris_ref,
+def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref,
                  fout_ref, iout_ref, *, bpad: int, block: int, n_tiles: int):
     def tile_body(tile, _):
         base = tile * RAY_TILE
@@ -496,35 +496,31 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, tris_ref,
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
 
         def visit_block(block_id, best):
-            """Dense [RT, block] MT over one superleaf block."""
+            """Dense [RT, block] Baldwin-Weber over one superleaf block:
+            plane-test t = (c - o.n)/(d.n), then u/v as affine maps of the
+            hit point (~20% fewer VPU ops than recomputing the MT cross
+            products; d.n = -MT det so DET_EPS/backface semantics hold)."""
             bt, bi, bu, bv, bb = best
             start = pl.multiple_of(block_id * block, 128)
-            tri = tris_ref[:, pl.ds(start, block)]  # [9, B]
+            bw = bw_ref[:, pl.ds(start, block)]  # [12, B]
 
             def tr(c):  # triangle row [1,B]
-                return tri[c, :][None, :]
+                return bw[c, :][None, :]
 
-            pvx = rc(dy) * tr(8) - rc(dz) * tr(7)
-            pvy = rc(dz) * tr(6) - rc(dx) * tr(8)
-            pvz = rc(dx) * tr(7) - rc(dy) * tr(6)
-            det = tr(3) * pvx + tr(4) * pvy + tr(5) * pvz
-            ok = jnp.abs(det) >= DET_EPS
-            invdet = 1.0 / jnp.where(ok, det, 1.0)
-
-            tvx = rc(ox) - tr(0)
-            tvy = rc(oy) - tr(1)
-            tvz = rc(oz) - tr(2)
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
-            ok &= (u >= 0.0) & (u <= 1.0)
-
-            qvx = tvy * tr(5) - tvz * tr(4)
-            qvy = tvz * tr(3) - tvx * tr(5)
-            qvz = tvx * tr(4) - tvy * tr(3)
-            v = (rc(dx) * qvx + rc(dy) * qvy + rc(dz) * qvz) * invdet
-            ok &= (v >= 0.0) & (u + v <= 1.0)
-
-            t = (tr(6) * qvx + tr(7) * qvy + tr(8) * qvz) * invdet
+            dn = rc(dx) * tr(0) + rc(dy) * tr(1) + rc(dz) * tr(2)
+            ok = jnp.abs(dn) >= DET_EPS
+            invdn = 1.0 / jnp.where(ok, dn, 1.0)
+            on = rc(ox) * tr(0) + rc(oy) * tr(1) + rc(oz) * tr(2)
+            t = (tr(3) - on) * invdn
             ok &= (t >= T_MIN) & (t > rc(t_prev))
+
+            hx = rc(ox) + t * rc(dx)
+            hy = rc(oy) + t * rc(dy)
+            hz = rc(oz) + t * rc(dz)
+            u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
+            ok &= (u >= 0.0) & (u <= 1.0)
+            v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
+            ok &= (v >= 0.0) & (u + v <= 1.0)
 
             t = jnp.where(ok, t, jnp.inf)
             tmin = jnp.min(t, axis=1)  # [RT]
@@ -540,7 +536,8 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, tris_ref,
             bi = jnp.where(better, start + col, bi)
             bu = jnp.where(better, pick(u), bu)
             bv = jnp.where(better, pick(v), bv)
-            bb = jnp.where(better, jnp.where(pick(det) < 0.0, 1.0, 0.0), bb)
+            # MT det = -d.n, so backface (det < 0) is d.n > 0.
+            bb = jnp.where(better, jnp.where(pick(dn) > 0.0, 1.0, 0.0), bb)
             return bt, bi, bu, bv, bb
 
         def next_hit(visited, bt):
@@ -591,7 +588,7 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, tris_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bpad", "block", "interpret"))
-def _flat_launch(o_t, d_t, t_prev, blk6, bid6, tris_t, bpad, block,
+def _flat_launch(o_t, d_t, t_prev, blk6, bid6, bw_t, bpad, block,
                  interpret=False):
     r = o_t.shape[1]
     n_tiles = r // RAY_TILE
@@ -610,7 +607,7 @@ def _flat_launch(o_t, d_t, t_prev, blk6, bid6, tris_t, bpad, block,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(o_t, d_t, t_prev, blk6, bid6, tris_t)
+    )(o_t, d_t, t_prev, blk6, bid6, bw_t)
     return fout, iout
 
 
@@ -631,7 +628,7 @@ def closest_hit_triangles_flat(o, d, t_prev, scene,
     tp = pad(t_prev, jnp.inf)[None, :]  # padded lanes can never hit
 
     fout, iout = _flat_launch(o_t, d_t, tp, scene.sl_blkflat, scene.sl_blkid,
-                              scene.sl_tris_t, scene.sl_blkflat.shape[1],
+                              scene.sl_bw_t, scene.sl_blkflat.shape[1],
                               scene.sl_block, interpret=interpret)
     bt = fout[0, :r]
     kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
@@ -648,7 +645,7 @@ def closest_hit_triangles_flat(o, d, t_prev, scene,
     )
 
 
-def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, tris_ref,
+def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, bw_ref,
                      out_ref, *, bpad: int, block: int, n_tiles: int,
                      n_sets: int = 1):
     """Any-hit flat walk. ``n_sets`` ray-direction/t_max sets share the same
@@ -709,33 +706,27 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, tris_ref,
 
         def run_walk(li, dx, dy, dz, t_max, hit0, tn, tn_min):
             def visit_block(block_id, occ):
+                # Baldwin-Weber dense visit (see _flat_kernel.visit_block).
                 start = pl.multiple_of(block_id * block, 128)
-                tri = tris_ref[:, pl.ds(start, block)]
+                bw = bw_ref[:, pl.ds(start, block)]
 
                 def tr(c):
-                    return tri[c, :][None, :]
+                    return bw[c, :][None, :]
 
-                pvx = rc(dy) * tr(8) - rc(dz) * tr(7)
-                pvy = rc(dz) * tr(6) - rc(dx) * tr(8)
-                pvz = rc(dx) * tr(7) - rc(dy) * tr(6)
-                det = tr(3) * pvx + tr(4) * pvy + tr(5) * pvz
-                ok = jnp.abs(det) >= DET_EPS
-                invdet = 1.0 / jnp.where(ok, det, 1.0)
-
-                tvx = rc(ox) - tr(0)
-                tvy = rc(oy) - tr(1)
-                tvz = rc(oz) - tr(2)
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
-                ok &= (u >= 0.0) & (u <= 1.0)
-
-                qvx = tvy * tr(5) - tvz * tr(4)
-                qvy = tvz * tr(3) - tvx * tr(5)
-                qvz = tvx * tr(4) - tvy * tr(3)
-                v = (rc(dx) * qvx + rc(dy) * qvy + rc(dz) * qvz) * invdet
-                ok &= (v >= 0.0) & (u + v <= 1.0)
-
-                t = (tr(6) * qvx + tr(7) * qvy + tr(8) * qvz) * invdet
+                dn = rc(dx) * tr(0) + rc(dy) * tr(1) + rc(dz) * tr(2)
+                ok = jnp.abs(dn) >= DET_EPS
+                invdn = 1.0 / jnp.where(ok, dn, 1.0)
+                on = rc(ox) * tr(0) + rc(oy) * tr(1) + rc(oz) * tr(2)
+                t = (tr(3) - on) * invdn
                 ok &= (t >= T_MIN) & (t <= rc(t_max))
+
+                hx = rc(ox) + t * rc(dx)
+                hy = rc(oy) + t * rc(dy)
+                hz = rc(oz) + t * rc(dz)
+                u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
+                ok &= (u >= 0.0) & (u <= 1.0)
+                v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
+                ok &= (v >= 0.0) & (u + v <= 1.0)
 
                 hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1)  # [RT]
                 return jnp.maximum(occ, hit)
@@ -776,7 +767,7 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, tris_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("bpad", "block", "n_sets", "interpret"))
-def _flat_occ_launch(o_t, d_t, t_max, blk6, bid6, tris_t, bpad, block,
+def _flat_occ_launch(o_t, d_t, t_max, blk6, bid6, bw_t, bpad, block,
                      n_sets=1, interpret=False):
     r = o_t.shape[1]
     n_tiles = r // RAY_TILE
@@ -792,7 +783,7 @@ def _flat_occ_launch(o_t, d_t, t_max, blk6, bid6, tris_t, bpad, block,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(o_t, d_t, t_max, blk6, bid6, tris_t)
+    )(o_t, d_t, t_max, blk6, bid6, bw_t)
     return out
 
 
@@ -812,7 +803,7 @@ def occluded_triangles_flat(o, d, t_max, scene, interpret=False):
     tm = pad(t_max, -1.0)[None, :]  # padded lanes occlude nothing
 
     out = _flat_occ_launch(o_t, d_t, tm, scene.sl_blkflat, scene.sl_blkid,
-                           scene.sl_tris_t, scene.sl_blkflat.shape[1],
+                           scene.sl_bw_t, scene.sl_blkflat.shape[1],
                            scene.sl_block, interpret=interpret)
     return out[0, :r] > 0.0
 
@@ -839,7 +830,7 @@ def occluded_triangles_flat_multi(o, ds, t_maxes, scene, interpret=False):
     tm = jnp.stack([pad(t, -1.0) for t in t_maxes], axis=0)  # [L, Rp]
 
     out = _flat_occ_launch(o_t, d_t, tm, scene.sl_blkflat, scene.sl_blkid,
-                           scene.sl_tris_t, scene.sl_blkflat.shape[1],
+                           scene.sl_bw_t, scene.sl_blkflat.shape[1],
                            scene.sl_block, n_sets=n_sets,
                            interpret=interpret)
     return out[:, :r] > 0.0

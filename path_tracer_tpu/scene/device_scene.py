@@ -79,6 +79,33 @@ def _bake_material_rows(attr: np.ndarray, model_ids: np.ndarray, mats) -> None:
         attr[:, col] = np.asarray(mats[key], np.float32)[model_ids]
 
 
+def _baldwin_weber_rows(sl_tris: np.ndarray) -> np.ndarray:
+    """[12, n] lane-major Baldwin-Weber rows from packed (v0,e1,e2) rows.
+
+    t = (c - o.n)/(d.n) with n = e1 x e2, c = v0.n (so d.n = -MT det: same
+    DET_EPS reject and backface-sign semantics); u = Au.h + au and
+    v = Av.h + av on the hit point h = o + t d, with Au = (e2 x n)/(n.n),
+    Av = (n x e1)/(n.n). Computed in f64 so the constants carry full f32
+    accuracy. Degenerate (padding) rows get all-zero rows: d.n = 0 rejects.
+    """
+    v0 = sl_tris[:, 0:3].astype(np.float64)
+    e1 = sl_tris[:, 3:6].astype(np.float64)
+    e2 = sl_tris[:, 6:9].astype(np.float64)
+    n = np.cross(e1, e2)
+    nn = (n * n).sum(axis=1, keepdims=True)
+    inv = np.where(nn > 0.0, 1.0 / np.where(nn > 0.0, nn, 1.0), 0.0)
+    au3 = np.cross(e2, n) * inv
+    av3 = np.cross(n, e1) * inv
+    out = np.empty((12, sl_tris.shape[0]), np.float32)
+    out[0:3] = n.T
+    out[3] = (v0 * n).sum(axis=1)
+    out[4:7] = au3.T
+    out[7] = -(au3 * v0).sum(axis=1)
+    out[8:11] = av3.T
+    out[11] = -(av3 * v0).sum(axis=1)
+    return out
+
+
 def _pack_spheres(centers: np.ndarray, radii: np.ndarray) -> np.ndarray:
     """[4, S_pad] lane-major sphere table padded with guaranteed misses."""
     s = centers.shape[0]
@@ -172,6 +199,12 @@ class DeviceScene:
     sl_nodes6: jax.Array  # [6, 8, Nsl] f32 bounds (mn.xyz, mx.xyz, 2 pad)
     sl_meta6: jax.Array  # [6, 2, Nsl] i32 (skip, block_id+1; 0 = internal)
     sl_tris_t: jax.Array  # [9, n_blocks*512] f32, block-aligned windows
+    # Baldwin-Weber rows for the FLAT kernels' dense visits: t from a plane
+    # test (n, c = v0.n), then u/v as affine maps of the hit point
+    # (Au.h + au, Av.h + av). ~20% fewer VPU ops per (ray, tri) than
+    # recomputing the Moller-Trumbore cross products, at 12 rows vs 9
+    # (semantics identical: det = -d.n, same DET_EPS/T_MIN/backface tests).
+    sl_bw_t: jax.Array  # [12, n_blocks*512] f32 (n.xyz, c, Au.xyz, au, Av.xyz, av)
     sl_map: jax.Array  # [n_blocks*512] i32 packed->global prim id (pad: 0)
     # FLAT per-block tables for the flat-visit kernel: with a few hundred
     # superleaf blocks, slab-testing EVERY block bound against the whole ray
@@ -651,6 +684,7 @@ def build_device_scene(scene: isf.Scene, root,
         sl_nodes6=jnp.asarray(sl_nodes6),
         sl_meta6=jnp.asarray(sl_meta6),
         sl_tris_t=jnp.asarray(np.ascontiguousarray(sl_tris.T)),
+        sl_bw_t=jnp.asarray(_baldwin_weber_rows(sl_tris)),
         sl_map=jnp.asarray(sl_map),
         sl_blkflat=jnp.asarray(sl_blkflat),
         sl_blkid=jnp.asarray(sl_blkid),

@@ -37,7 +37,8 @@ def main() -> None:
     from path_tracer_tpu.ops.sorting import morton_pixel_order
     from path_tracer_tpu.scene.showcase import showcase_device_scene
 
-    scene = showcase_device_scene(use_bvh=True)
+    scene = showcase_device_scene(
+        use_bvh=True, sl_block=int(os.environ.get("PT_SL_BLOCK", "512")))
     W, H = 1920, 1080
     R = 1 << 18
     spec = IntegratorSpec(bounces=5, differentiable=False)

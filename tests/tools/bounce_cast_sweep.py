@@ -50,7 +50,8 @@ def main() -> None:
     c = int(os.environ.get("PT_CHUNK", "3"))
     pix = jnp.asarray(morton[c * R:(c + 1) * R].copy())
 
-    scene = showcase_device_scene(use_bvh=True)
+    sb = int(os.environ.get("PT_SL_BLOCK", "512"))
+    scene = showcase_device_scene(use_bvh=True, sl_block=sb)
 
     @jax.jit
     def cam(scene):
