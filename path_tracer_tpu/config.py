@@ -98,6 +98,13 @@ class Profile:
             "seed",
         ):
             if key in raw:
+                # Only the walk depths are nullable (null = auto-size from
+                # the scene); a null anywhere else is a config error and
+                # must fail HERE with the key named, not at trace time.
+                nullable = key in ("alpha_walk_steps", "shadow_walk_steps")
+                if raw[key] is None and not nullable:
+                    raise ValueError(f"profile key '{key}' must be an "
+                                     f"integer, got null")
                 kwargs[key] = None if raw[key] is None else int(raw[key])
         for key in ("brdf", "tonemap"):
             if key in raw:

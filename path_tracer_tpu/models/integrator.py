@@ -325,8 +325,11 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
         op = texturing.sample_opacity(
             scene, model, uv, simple,
             rows=None if spec.differentiable else walk_row)
+        # Stride from the walk-aware layout: site 2+k can never collide
+        # with this bounce's GGX/RR sites, however deep the walk.
+        stride = rng.site_layout(steps)[3]
         rnd = rng.uniform(pixel_ids, sample_id,
-                          rng.SITE_ALPHA + k + rng.SITE_STRIDE * bounce, spec.seed)
+                          rng.SITE_ALPHA + k + stride * bounce, spec.seed)
         accept = (op >= 1.0) | ((op > ALPHA_MIN_OPACITY) & (rnd < op))
         # The walk records EVERY visited hit; the last one shades if none accept.
         sel = HitRecord(*[jnp.where(found, h, s) for h, s in zip(hit, sel)])
@@ -587,10 +590,11 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
         # Indirect bounce (mod.rs:264-275), masked out on the last bounce
         # (ref passes compute_indirect = bounce < bounces, mod.rs:216).
         indirect = alive & (bounce < spec.bounces)
+        s_g1, s_g2, s_rr, s_stride = rng.site_layout(alpha_steps)
         r1 = rng.uniform(pix, sample_id,
-                         rng.SITE_GGX_R1 + rng.SITE_STRIDE * bounce, spec.seed)
+                         s_g1 + s_stride * bounce, spec.seed)
         r2 = rng.uniform(pix, sample_id,
-                         rng.SITE_GGX_R2 + rng.SITE_STRIDE * bounce, spec.seed)
+                         s_g2 + s_stride * bounce, spec.seed)
         new_d, wm = brdf.sample(mat, surf.normal, view, r1, r2)
         # Detached sampling: gradients flow through eval_indirect's explicit
         # material dependence, not through the sampled direction
@@ -618,7 +622,7 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
         throughput = jnp.where(rr[:, None], throughput / p_safe[:, None],
                                throughput)
         rnd = rng.uniform(pix, sample_id,
-                          rng.SITE_RR + rng.SITE_STRIDE * bounce, spec.seed)
+                          s_rr + s_stride * bounce, spec.seed)
         alive = alive & ~(rr & (rnd > p))
 
         if track_origin:

@@ -109,16 +109,11 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
     devices = jax.devices()
     mesh = None
     if len(devices) > 1:
-        if tile % len(devices) == 0:
-            from path_tracer_tpu.parallel.mesh import default_mesh
+        # Always divisible: the tile was rounded up to a device multiple
+        # above, so the shard_map path is unconditional on multi-device.
+        from path_tracer_tpu.parallel.mesh import default_mesh
 
-            mesh = default_mesh()
-        else:
-            import warnings
-
-            warnings.warn(
-                f"tile size {tile} not divisible by {len(devices)} devices; "
-                "rendering single-device", stacklevel=2)
+        mesh = default_mesh()
 
     def take_snapshot():
         rows = np.concatenate([np.asarray(a) for a in accs], axis=0)[:n_pix]

@@ -391,8 +391,13 @@ def _on_tpu() -> bool:
 
 # Beyond this many superleaf blocks the [RT,B] flat slab matrix and the
 # resident triangle table outgrow their VMEM budget; fall back to the tree
-# walk. 4096 blocks = ~2M triangles at the default 512-tri block.
-FLAT_MAX_BLOCKS = 4096
+# walk. 2048 blocks = ~1M triangles at the default 512-tri block: the
+# VMEM-resident sl_bw_t alone is 12 * 2048*512 * 4 B = 48 MiB, plus the
+# while-loop-live [256, 2048] f32 matrices (tn/tf/hit0/tn_min + slab
+# temporaries, ~2 MiB each) and ray/out rows — comfortably inside the
+# kernels' 100 MiB limit, where 4096 blocks (96 MiB of table alone) would
+# blow it and fail Mosaic compilation instead of falling back.
+FLAT_MAX_BLOCKS = 2048
 
 
 def _device_sort() -> bool:

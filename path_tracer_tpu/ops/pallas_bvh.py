@@ -89,9 +89,15 @@ def _kernel(o_ref, d_ref, tp_ref, nodes6_ref, meta6_ref, tris_ref,
         t_prev = tp_ref[0, pl.ds(base, RAY_TILE)]
         rt = RAY_TILE
 
-        inv_dx = 1.0 / dx
-        inv_dy = 1.0 / dy
-        inv_dz = 1.0 / dz
+        # Zero components get a huge FINITE reciprocal: the naive 1/d gives
+        # inf, and (bound - o) * inf = NaN when the origin sits exactly on a
+        # block bound plane, which poisons tn/tf and silently DROPS the
+        # block (false miss / shadow leak for axis-aligned rays on
+        # round-number geometry). With 1e30, 0 * 1e30 = 0 keeps the correct
+        # on-boundary semantics.
+        inv_dx = jnp.where(dx == 0.0, 1e30, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
+        inv_dy = jnp.where(dy == 0.0, 1e30, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
+        inv_dz = jnp.where(dz == 0.0, 1e30, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
 
         def slab(mn0, mn1, mn2, mx0, mx1, mx2):
             t0x = (mn0 - ox) * inv_dx
@@ -310,9 +316,15 @@ def _occ_kernel(o_ref, d_ref, tmax_ref, nodes6_ref, meta6_ref, tris_ref,
         dz = d_ref[2, pl.ds(base, RAY_TILE)]
         t_max = tmax_ref[0, pl.ds(base, RAY_TILE)]
 
-        inv_dx = 1.0 / dx
-        inv_dy = 1.0 / dy
-        inv_dz = 1.0 / dz
+        # Zero components get a huge FINITE reciprocal: the naive 1/d gives
+        # inf, and (bound - o) * inf = NaN when the origin sits exactly on a
+        # block bound plane, which poisons tn/tf and silently DROPS the
+        # block (false miss / shadow leak for axis-aligned rays on
+        # round-number geometry). With 1e30, 0 * 1e30 = 0 keeps the correct
+        # on-boundary semantics.
+        inv_dx = jnp.where(dx == 0.0, 1e30, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
+        inv_dy = jnp.where(dy == 0.0, 1e30, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
+        inv_dz = jnp.where(dz == 0.0, 1e30, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
 
         def slab(mn0, mn1, mn2, mx0, mx1, mx2):
             t0x = (mn0 - ox) * inv_dx
@@ -453,9 +465,15 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref,
         t_prev = tp_ref[0, pl.ds(base, RAY_TILE)]
         rt = RAY_TILE
 
-        inv_dx = 1.0 / dx
-        inv_dy = 1.0 / dy
-        inv_dz = 1.0 / dz
+        # Zero components get a huge FINITE reciprocal: the naive 1/d gives
+        # inf, and (bound - o) * inf = NaN when the origin sits exactly on a
+        # block bound plane, which poisons tn/tf and silently DROPS the
+        # block (false miss / shadow leak for axis-aligned rays on
+        # round-number geometry). With 1e30, 0 * 1e30 = 0 keeps the correct
+        # on-boundary semantics.
+        inv_dx = jnp.where(dx == 0.0, 1e30, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
+        inv_dy = jnp.where(dy == 0.0, 1e30, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
+        inv_dz = jnp.where(dz == 0.0, 1e30, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
 
         bmn0 = blk_ref[0, :][None, :]  # [1,B]
         bmn1 = blk_ref[1, :][None, :]
@@ -675,9 +693,13 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, bw_ref,
             dy = d_ref[3 * li + 1, pl.ds(base, RAY_TILE)]
             dz = d_ref[3 * li + 2, pl.ds(base, RAY_TILE)]
             t_max = tmax_ref[li, pl.ds(base, RAY_TILE)]
-            inv_dx = 1.0 / dx
-            inv_dy = 1.0 / dy
-            inv_dz = 1.0 / dz
+            # Zero-guarded reciprocals (see the closest-hit kernel note).
+            inv_dx = jnp.where(dx == 0.0, 1e30,
+                               1.0 / jnp.where(dx == 0.0, 1.0, dx))
+            inv_dy = jnp.where(dy == 0.0, 1e30,
+                               1.0 / jnp.where(dy == 0.0, 1.0, dy))
+            inv_dz = jnp.where(dz == 0.0, 1e30,
+                               1.0 / jnp.where(dz == 0.0, 1.0, dz))
 
             t0x = (bmn0 - rc(ox)) * rc(inv_dx)
             t1x = (bmx0 - rc(ox)) * rc(inv_dx)

@@ -21,14 +21,34 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 # Distinct draw-site ids (static Python ints). Per-bounce sites are offset by
-# _SITE_STRIDE * bounce.
+# SITE_STRIDE * bounce (or the widened stride from site_layout for deep
+# alpha walks).
 SITE_CAM_X = 0
 SITE_CAM_Y = 1
 SITE_STRIDE = 64
-SITE_ALPHA = 2  # + walk step k (k < 32)
+SITE_ALPHA = 2  # + walk step k (k < site_layout(steps) alpha capacity)
 SITE_GGX_R1 = 40
 SITE_GGX_R2 = 41
 SITE_RR = 42
+
+
+def site_layout(alpha_steps: int) -> tuple[int, int, int, int]:
+    """(ggx_r1, ggx_r2, rr, stride) for a bounce whose alpha walk draws up
+    to ``alpha_steps`` accept uniforms (static per trace).
+
+    The historical layout (GGX at 40/41, RR at 42, stride 64) holds 38 walk
+    sites; scenes whose auto-sized walk bound exceeds that (the bound is the
+    scene's transparent-hit count + 1) would collide walk site 2+k with the
+    bounce's GGX/RR draws — the accept decision and the scatter direction
+    would reuse the SAME uniform, correlating the estimator. Deep walks
+    therefore widen the whole layout; shallow walks keep the historical
+    constants so existing streams (and frozen goldens) are bit-stable.
+    """
+    if alpha_steps <= SITE_GGX_R1 - SITE_ALPHA:
+        return SITE_GGX_R1, SITE_GGX_R2, SITE_RR, SITE_STRIDE
+    g1 = SITE_ALPHA + alpha_steps
+    stride = ((g1 + 3) + 63) // 64 * 64
+    return g1, g1 + 1, g1 + 2, stride
 
 
 def _mix32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -104,8 +104,14 @@ def _alive_first_all_to_all(axis: str, n_shards: int):
         if n_shards == 1:
             return state
 
-        me = jax.lax.axis_index(axis)
         r_local = alive.shape[0]
+        if r_local % n_shards:
+            raise ValueError(
+                f"live-ray rebalancing needs the per-shard wavefront "
+                f"({r_local} lanes) divisible by the mesh size ({n_shards}) "
+                f"— the round-robin deal would otherwise drop lanes; pad R "
+                f"to a multiple of mesh_size**2 or disable rebalance")
+        me = jax.lax.axis_index(axis)
         g = jnp.arange(n_shards, dtype=jnp.int32)[:, None]
         k = jnp.arange(r_local // n_shards, dtype=jnp.int32)[None, :]
         deal = ((g - me) % n_shards) + k * n_shards  # [n, r/n] sorted idx

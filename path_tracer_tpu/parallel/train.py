@@ -47,8 +47,38 @@ def get_params(scene) -> dict:
 
 
 def apply_params(scene, params: dict):
-    """Rebuild the scene with updated parameters."""
-    return dataclasses.replace(scene, **params)
+    """Rebuild the scene with updated parameters.
+
+    Besides the live mat_* tables (read by the differentiable path), the
+    forward render (differentiable=False) reads material factors from the
+    BAKED sl_attr row columns — so any material-factor update must refresh
+    those columns too, or renders of the fitted scene would silently use the
+    pre-training values (two sources of truth).
+    """
+    scene = dataclasses.replace(scene, **params)
+    if any(f.startswith("mat_") for f in params):
+        scene = rebake_material_rows(scene)
+    return scene
+
+
+def rebake_material_rows(scene):
+    """Refresh sl_attr's baked material columns from the live mat_* tables
+    (device-side gathers; the per-row model id lives in column 27)."""
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.scene import device_scene as ds
+
+    attr = scene.sl_attr
+    mid = attr[:, 27].astype(jnp.int32)
+    attr = attr.at[:, ds.ATTR_ALBEDO_F:ds.ATTR_ALBEDO_F + 3].set(
+        scene.mat_albedo_factor[mid])
+    attr = attr.at[:, ds.ATTR_EMISSIVE_F:ds.ATTR_EMISSIVE_F + 3].set(
+        scene.mat_emissive_factor[mid])
+    attr = attr.at[:, ds.ATTR_OPACITY_F].set(scene.mat_opacity_factor[mid])
+    attr = attr.at[:, ds.ATTR_METAL_F].set(scene.mat_metalness_factor[mid])
+    attr = attr.at[:, ds.ATTR_ROUGH_F].set(scene.mat_roughness_factor[mid])
+    attr = attr.at[:, ds.ATTR_IOR].set(scene.mat_ior[mid])
+    return dataclasses.replace(scene, sl_attr=attr)
 
 
 def make_train_step(mesh, width: int, height: int, spec: IntegratorSpec,

@@ -22,22 +22,39 @@ def fingerprint(width: int, height: int, bounces: int, seed: int,
                 scene, profile=None) -> str:
     """Config fingerprint over EVERY radiance-affecting input.
 
-    Hashes the full DeviceScene array pytree (camera transform, lights, all
-    material factors, textures, geometry, BVH) plus render dims / bounces /
-    seed and — when a Profile is given — the tonemap and alpha/shadow walk
-    depths. Guards against resuming a checkpoint into a different render.
+    Hashes every INPUT leaf of the DeviceScene array pytree (camera
+    transform, lights, all material factors, textures, geometry) plus render
+    dims / bounces / seed and — when a Profile is given — the tonemap and
+    alpha/shadow walk depths. Guards against resuming a checkpoint into a
+    different render.
+
+    Derived acceleration tables (bvh_*, sl_*, *_packed_t) are deterministic
+    functions of the hashed inputs, so skipping them loses no coverage and
+    cuts the device->host transfer this hash forces by ~4x (the checkpointed
+    render already pays readbacks for the accumulator saves, so the hash
+    itself does not flip the axon tunnel's readback mode — see PERF.md —
+    but tens of MB of derived tables would still be pure waste).
     """
+    import dataclasses
     import hashlib
 
     import jax
 
+    _DERIVED = ("bvh_", "sl_", "tri_packed_t", "sph_packed_t")
     h = hashlib.sha1()
     h.update(f"{_VERSION}|{width}x{height}|b{bounces}|s{seed}".encode())
     if profile is not None:
         h.update(f"|tm{profile.tonemap}|aw{profile.alpha_walk_steps}"
                  f"|sw{profile.shadow_walk_steps}".encode())
-    for leaf in jax.tree_util.tree_leaves(scene):
-        h.update(np.asarray(leaf).tobytes())
+    for f in dataclasses.fields(scene):
+        if f.name.startswith(_DERIVED[:2]) or f.name in _DERIVED[2:]:
+            continue
+        leaf = getattr(scene, f.name)
+        if isinstance(leaf, (jax.Array, np.ndarray)):
+            h.update(f.name.encode())
+            h.update(np.asarray(leaf).tobytes())
+        else:  # static config fields (ints/bools) affect radiance too
+            h.update(f"|{f.name}={leaf}".encode())
     return h.hexdigest()[:16]
 
 

@@ -37,7 +37,12 @@ CASES = {
     "reflection": (2.0, None, 0.02),
     "spheres": (2.5, None, 0.04),
     "head": (2.5, None, 0.02),
-    "alpha_transparency": (3.0, None, 0.02),
+    # 3.1: deep-alpha walks (auto bound = 55 here) got their own widened RNG
+    # site layout (ops/rng.site_layout) after the review found walk steps
+    # >= 38 reusing the bounce's GGX/RR uniforms; the decorrelated streams
+    # shifted this stochastic comparison from 2.99 to 3.00 mean |u8 diff| —
+    # Monte-Carlo noise at this spp, not an integrator change.
+    "alpha_transparency": (3.1, None, 0.02),
     "white_furnace_direct": (2.0, None, 0.02),
     "white_furnace_indirect": (2.5, None, 0.02),
     "cube_rr_b6": (2.0, None, 0.02),
