@@ -45,12 +45,20 @@ RAY_TILE = int(os.environ.get("PT_RAY_TILE", "256"))
 
 
 def _kernel(o_ref, d_ref, tp_ref, nodes6_ref, meta6_ref, tris_ref,
-            fout_ref, iout_ref, *, n_nodes: int, block: int, n_tiles: int):
+            fout_ref, iout_ref, *scratch, n_nodes: int, block: int,
+            n_tiles: int, stream: bool = False):
     """Single gridless program; loops over ray tiles so the node/tri tables
     stay VMEM-resident exactly once (a pipelined grid would double-buffer
     them). Node scalars come from 128-aligned lane windows via masked
     reductions — narrow [N,8] rows would pad to 128 lanes in VMEM (16x) and
-    unaligned dynamic lane slices are not reliably lowerable."""
+    unaligned dynamic lane slices are not reliably lowerable.
+
+    stream=True keeps the triangle table in HBM and DMAs each visited
+    block's [9, block] window into a VMEM scratch buffer on demand: beyond
+    ~1M packed slots the resident table alone blows the 100 MiB VMEM budget
+    (the tree walk is exactly the BIG-scene path, so it must not assume the
+    table fits). Per-visit DMA is ~18 KB — microseconds against the dense
+    visit's VPU cost."""
 
     def make_read_node(layout):
         def read_node(i):
@@ -118,7 +126,15 @@ def _kernel(o_ref, d_ref, tp_ref, nodes6_ref, meta6_ref, tris_ref,
             """Dense [RT, block] MT over one superleaf block."""
             bt, bi, bu, bv, bb = best
             start = pl.multiple_of(block_id * block, 128)
-            tri = tris_ref[:, pl.ds(start, block)]  # [9, B]
+            if stream:
+                buf, sem = scratch
+                cp = pltpu.make_async_copy(
+                    tris_ref.at[:, pl.ds(start, block)], buf, sem)
+                cp.start()
+                cp.wait()
+                tri = buf[...]  # [9, B]
+            else:
+                tri = tris_ref[:, pl.ds(start, block)]  # [9, B]
 
             def rc(a):  # ray column [RT,1]
                 return a[:, None]
@@ -213,22 +229,27 @@ def _kernel(o_ref, d_ref, tp_ref, nodes6_ref, meta6_ref, tris_ref,
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_nodes", "block", "stream",
+                                             "interpret"))
 def _launch(o_t, d_t, t_prev, nodes6, meta6, tris_t, n_nodes, block,
-            interpret=False):
+            stream=False, interpret=False):
     r = o_t.shape[1]
     n_tiles = r // RAY_TILE
     kernel = functools.partial(_kernel, n_nodes=n_nodes, block=block,
-                               n_tiles=n_tiles)
+                               n_tiles=n_tiles, stream=stream)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY) if stream else vm()
+    scratch = ([pltpu.VMEM((16, block), jnp.float32),
+                pltpu.SemaphoreType.DMA] if stream else [])
     fout, iout = pl.pallas_call(
         kernel,
-        in_specs=[vm(), vm(), vm(), vm(), vm(), vm()],
+        in_specs=[vm(), vm(), vm(), vm(), vm(), tri_spec],
         out_specs=[vm(), vm()],
         out_shape=[
             jax.ShapeDtypeStruct((4, r), jnp.float32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
         ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # Superleaf tables are ~7 MB for 100k tris; v5e has headroom.
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -238,8 +259,22 @@ def _launch(o_t, d_t, t_prev, nodes6, meta6, tris_t, n_nodes, block,
     return fout, iout
 
 
+# Stream the tri table from HBM beyond this many resident bytes: the tree
+# walk is the big-scene path (the flat walk caps at FLAT_MAX_BLOCKS), and a
+# larger resident table plus rays/nodes/outs would exceed the kernels'
+# 100 MiB VMEM budget (measured: 1.78M slots = 64 MiB of table OOMs Mosaic
+# at 119 MiB total).
+STREAM_TRIS_BYTES = 40 * 1024 * 1024
+
+
+def _auto_stream(scene, stream):
+    if stream is not None:
+        return stream
+    return int(scene.sl_tris_t.shape[1]) * 16 * 4 > STREAM_TRIS_BYTES
+
+
 def closest_hit_triangles_packet(o, d, t_prev, scene,
-                                 interpret=False) -> HitRecord:
+                                 stream=None, interpret=False) -> HitRecord:
     """Superleaf packet-BVH closest hit (pads rays to RAY_TILE)."""
     r = o.shape[0]
     r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -256,6 +291,7 @@ def closest_hit_triangles_packet(o, d, t_prev, scene,
 
     fout, iout = _launch(o_t, d_t, tp, scene.sl_nodes6, scene.sl_meta6,
                          scene.sl_tris_t, scene.sl_n_nodes, scene.sl_block,
+                         stream=_auto_stream(scene, stream),
                          interpret=interpret)
     bt = fout[0, :r]
     kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
@@ -281,7 +317,8 @@ def closest_hit_triangles_packet(o, d, t_prev, scene,
 
 
 def _occ_kernel(o_ref, d_ref, tmax_ref, nodes6_ref, meta6_ref, tris_ref,
-                out_ref, *, n_nodes: int, block: int, n_tiles: int):
+                out_ref, *scratch, n_nodes: int, block: int, n_tiles: int,
+                stream: bool = False):
     def make_read_node(layout):
         def read_node(i):
             aligned = pl.multiple_of((i >> 7) << 7, 128)
@@ -343,7 +380,15 @@ def _occ_kernel(o_ref, d_ref, tmax_ref, nodes6_ref, meta6_ref, tris_ref,
 
         def visit_block(block_id, occ):
             start = pl.multiple_of(block_id * block, 128)
-            tri = tris_ref[:, pl.ds(start, block)]
+            if stream:
+                buf, sem = scratch
+                cp = pltpu.make_async_copy(
+                    tris_ref.at[:, pl.ds(start, block)], buf, sem)
+                cp.start()
+                cp.wait()
+                tri = buf[...]
+            else:
+                tri = tris_ref[:, pl.ds(start, block)]
 
             def rc(a):
                 return a[:, None]
@@ -415,19 +460,24 @@ def _occ_kernel(o_ref, d_ref, tmax_ref, nodes6_ref, meta6_ref, tris_ref,
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_nodes", "block", "stream",
+                                             "interpret"))
 def _occ_launch(o_t, d_t, t_max, nodes6, meta6, tris_t, n_nodes, block,
-                interpret=False):
+                stream=False, interpret=False):
     r = o_t.shape[1]
     n_tiles = r // RAY_TILE
     kernel = functools.partial(_occ_kernel, n_nodes=n_nodes, block=block,
-                               n_tiles=n_tiles)
+                               n_tiles=n_tiles, stream=stream)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY) if stream else vm()
+    scratch = ([pltpu.VMEM((16, block), jnp.float32),
+                pltpu.SemaphoreType.DMA] if stream else [])
     (out,) = pl.pallas_call(
         kernel,
-        in_specs=[vm(), vm(), vm(), vm(), vm(), vm()],
+        in_specs=[vm(), vm(), vm(), vm(), vm(), tri_spec],
         out_specs=[vm()],
         out_shape=[jax.ShapeDtypeStruct((1, r), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -858,7 +908,8 @@ def occluded_triangles_flat_multi(o, ds, t_maxes, scene, interpret=False):
     return out[:, :r] > 0.0
 
 
-def occluded_triangles_packet(o, d, t_max, scene, interpret=False):
+def occluded_triangles_packet(o, d, t_max, scene, stream=None,
+                              interpret=False):
     """[R] bool: any triangle hit with T_MIN <= t <= t_max (any-hit walk
     with per-lane early exit)."""
     r = o.shape[0]
@@ -876,5 +927,6 @@ def occluded_triangles_packet(o, d, t_max, scene, interpret=False):
 
     out = _occ_launch(o_t, d_t, tm, scene.sl_nodes6, scene.sl_meta6,
                       scene.sl_tris_t, scene.sl_n_nodes, scene.sl_block,
+                      stream=_auto_stream(scene, stream),
                       interpret=interpret)
     return out[0, :r] > 0.0

@@ -198,7 +198,10 @@ class DeviceScene:
     # pruning fires early (front-to-back stackless traversal).
     sl_nodes6: jax.Array  # [6, 8, Nsl] f32 bounds (mn.xyz, mx.xyz, 2 pad)
     sl_meta6: jax.Array  # [6, 2, Nsl] i32 (skip, block_id+1; 0 = internal)
-    sl_tris_t: jax.Array  # [9, n_blocks*512] f32, block-aligned windows
+    # Rows 0-8 are (v0,e1,e2) xyz; rows 9-15 are zero padding — Mosaic DMA
+    # slices (the HBM-streamed big-scene tree walk) need the sublane dim
+    # aligned to 8.
+    sl_tris_t: jax.Array  # [16, n_blocks*512] f32, block-aligned windows
     # Baldwin-Weber rows for the FLAT kernels' dense visits: t from a plane
     # test (n, c = v0.n), then u/v as affine maps of the hit point
     # (Au.h + au, Av.h + av). ~20% fewer VPU ops per (ray, tri) than
@@ -683,7 +686,9 @@ def build_device_scene(scene: isf.Scene, root,
         ),
         sl_nodes6=jnp.asarray(sl_nodes6),
         sl_meta6=jnp.asarray(sl_meta6),
-        sl_tris_t=jnp.asarray(np.ascontiguousarray(sl_tris.T)),
+        sl_tris_t=jnp.asarray(np.concatenate(
+            [np.ascontiguousarray(sl_tris.T),
+             np.zeros((7, sl_tris.shape[0]), np.float32)], axis=0)),
         sl_bw_t=jnp.asarray(_baldwin_weber_rows(sl_tris)),
         sl_map=jnp.asarray(sl_map),
         sl_blkflat=jnp.asarray(sl_blkflat),

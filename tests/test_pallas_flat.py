@@ -116,3 +116,32 @@ def test_flat_occlusion_multi_matches_single(head_scene):
         np.testing.assert_array_equal(np.asarray(multi[i]),
                                       np.asarray(single))
     assert np.asarray(multi[2])[::3].all()  # dead lanes report occluded
+
+
+def test_tree_streaming_matches_resident(head_scene):
+    """HBM-streamed tree walks (big-scene path: the tri table is DMA'd per
+    visited block instead of living in VMEM) must be bit-identical to the
+    resident-table walks on the same rays."""
+    from path_tracer_tpu.ops.pallas_bvh import (
+        closest_hit_triangles_packet,
+        occluded_triangles_packet,
+    )
+
+    r = 512
+    o, d = _rays(head_scene, r, 5)
+    tp = jnp.full((r,), -1.0, jnp.float32)
+    res = closest_hit_triangles_packet(o, d, tp, head_scene, stream=False,
+                                       interpret=True)
+    strm = closest_hit_triangles_packet(o, d, tp, head_scene, stream=True,
+                                        interpret=True)
+    for a, b in zip(res, strm):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    t = np.asarray(res.t)
+    above = jnp.asarray(np.where(np.isfinite(t), t * 1.01, 50.0)
+                        .astype(np.float32))
+    occ_r = occluded_triangles_packet(o, d, above, head_scene, stream=False,
+                                      interpret=True)
+    occ_s = occluded_triangles_packet(o, d, above, head_scene, stream=True,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ_r), np.asarray(occ_s))
