@@ -229,6 +229,7 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
             # solved for the positive root (same dist formula as in_range).
             from path_tracer_tpu.ops.pallas_bvh import (
                 occluded_triangles_flat,
+                occluded_triangles_flat2,
                 occluded_triangles_packet,
             )
             from path_tracer_tpu.ops.sorting import ray_sort_keys, sort_permutation
@@ -237,8 +238,9 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
             if active is not None:
                 # Dead lanes occlude nothing (t_max = -1 marker).
                 t_max = jnp.where(active, t_max, -1.0)
-            occ_fn = (occluded_triangles_flat if _use_flat_walk(scene)
-                      else occluded_triangles_packet)
+            occ_fn = {"flat": occluded_triangles_flat,
+                      "flat2": occluded_triangles_flat2,
+                      "tree": occluded_triangles_packet}[_walk_variant(scene)]
             if _device_sort():
                 root = scene.bvh_nodes[0]
                 keys = ray_sort_keys(o, d, root[0:3], root[3:6])
@@ -319,7 +321,10 @@ def occluded_multi(o, dirs, scene, surf_pos=None, max_dists=None,
             for i in range(n_lights)
         ]
 
-    from path_tracer_tpu.ops.pallas_bvh import occluded_triangles_flat_multi
+    from path_tracer_tpu.ops.pallas_bvh import (
+        occluded_triangles_flat2_multi,
+        occluded_triangles_flat_multi,
+    )
 
     r = o.shape[0]
     t_maxes = []
@@ -348,7 +353,10 @@ def occluded_multi(o, dirs, scene, surf_pos=None, max_dists=None,
             tm = jnp.where(actives[i], tm, -1.0)
         t_maxes.append(tm)
 
-    tri_occ = occluded_triangles_flat_multi(o, dirs, t_maxes, scene)
+    multi_fn = (occluded_triangles_flat_multi
+                if _walk_variant(scene) == "flat"
+                else occluded_triangles_flat2_multi)
+    tri_occ = multi_fn(o, dirs, t_maxes, scene)
 
     outs = []
     for i in range(n_lights):
@@ -411,18 +419,33 @@ def _device_sort() -> bool:
     return os.environ.get("PT_DEVICE_SORT", "0") == "1"
 
 
-def _use_flat_walk(scene) -> bool:
-    """Flat block-visit walk vs superleaf tree walk (PT_BVH_KERNEL=tree|flat
-    overrides for A/B benchmarking)."""
+def _walk_variant(scene) -> str:
+    """Which Pallas triangle walk serves this scene:
+
+    - "flat": single-level block-visit walk, tables VMEM-resident — the
+      fast path up to FLAT_MAX_BLOCKS.
+    - "flat2": two-level superblock walk with HBM-streamed dense visits —
+      the big-scene path (capacity bounded by HBM only).
+    - "tree": superleaf tree walk (HBM-streamed past 40 MB of table) —
+      kept as the A/B fallback (PT_BVH_KERNEL=tree).
+
+    PT_BVH_KERNEL=flat|flat2|tree overrides for benchmarking.
+    """
     import os
 
-    forced = os.environ.get("PT_BVH_KERNEL")
-    if forced == "tree":
-        return False
     n = getattr(scene, "sl_n_blocks", 0)
-    if forced == "flat":
-        return n > 0
-    return 0 < n <= FLAT_MAX_BLOCKS
+    if n <= 0:
+        return "tree"  # always-miss placeholder tree (no triangles)
+    forced = os.environ.get("PT_BVH_KERNEL")
+    if forced in ("tree", "flat", "flat2"):
+        return forced
+    return "flat" if n <= FLAT_MAX_BLOCKS else "flat2"
+
+
+def _use_flat_walk(scene) -> bool:
+    """True when a FLAT-family walk (flat or flat2) serves the scene —
+    i.e. the batched multi-light occlusion launch is available."""
+    return _walk_variant(scene) != "tree"
 
 
 def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
@@ -440,6 +463,7 @@ def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
         if getattr(scene, "use_bvh", False):
             from path_tracer_tpu.ops.pallas_bvh import (
                 closest_hit_triangles_flat,
+                closest_hit_triangles_flat2,
                 closest_hit_triangles_packet,
             )
             from path_tracer_tpu.ops.sorting import ray_sort_keys, sort_permutation
@@ -447,8 +471,9 @@ def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
             # Packet traversal cost is the per-tile union of ray needs; the
             # renderer already feeds wavefronts in host-Morton screen-tile
             # order, so casts run unsorted by default (_device_sort docs).
-            walk = (closest_hit_triangles_flat if _use_flat_walk(scene)
-                    else closest_hit_triangles_packet)
+            walk = {"flat": closest_hit_triangles_flat,
+                    "flat2": closest_hit_triangles_flat2,
+                    "tree": closest_hit_triangles_packet}[_walk_variant(scene)]
             if _device_sort():
                 root = scene.bvh_nodes[0]
                 keys = ray_sort_keys(o, d, root[0:3], root[3:6])

@@ -930,3 +930,483 @@ def occluded_triangles_packet(o, d, t_max, scene, stream=None,
                       stream=_auto_stream(scene, stream),
                       interpret=interpret)
     return out[0, :r] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Two-level flat walk ("flat2"): the BIG-scene production path.
+#
+# The single-level flat kernel's [RT, B] slab matrix and its per-iteration
+# next_hit recompute scale linearly with the block count, and its resident
+# triangle table outgrows VMEM — both break down past FLAT_MAX_BLOCKS
+# (~1M triangles). The two-level walk keeps the flat kernel's winning shape
+# (serial loop iterations only for NEEDED work, no lax.cond around the dense
+# visit) at both levels:
+#
+# - OUTER: slab-test all SUPERBLOCK AABBs (unions of 128 block columns,
+#   scene.sl_sbflat) as one [RT, SB] op; argmin-next walk over hit
+#   superblocks with fresh best-t pruning.
+# - INNER: per visited superblock, slab its 128 block columns (one aligned
+#   [RT, 128] window of sl_blkflat) and argmin-next walk the hit blocks.
+# - DENSE: per visited block, DMA its [16, block] Baldwin-Weber window from
+#   HBM into VMEM scratch (the table never resides in VMEM) and run the
+#   same dense evaluation as the flat kernel.
+#
+# At 2M triangles (43 superblocks) the outer matrices are [RT, 128] and the
+# inner ones [RT, 128] — per-tile fixed cost stays at small-scene levels no
+# matter how big the scene grows; capacity is bounded by HBM only.
+# ---------------------------------------------------------------------------
+
+
+def _flat2_kernel(o_ref, d_ref, tp_ref, sb_ref, sbid_ref, blk_ref, bid_ref,
+                  bw_ref, fout_ref, iout_ref, buf_ref, sem, *,
+                  sbpad: int, block: int, n_tiles: int):
+    def tile_body(tile, _):
+        base = tile * RAY_TILE
+        ox = o_ref[0, pl.ds(base, RAY_TILE)]
+        oy = o_ref[1, pl.ds(base, RAY_TILE)]
+        oz = o_ref[2, pl.ds(base, RAY_TILE)]
+        dx = d_ref[0, pl.ds(base, RAY_TILE)]
+        dy = d_ref[1, pl.ds(base, RAY_TILE)]
+        dz = d_ref[2, pl.ds(base, RAY_TILE)]
+        t_prev = tp_ref[0, pl.ds(base, RAY_TILE)]
+        rt = RAY_TILE
+
+        # Zero-guarded reciprocals (see the flat kernel note).
+        inv_dx = jnp.where(dx == 0.0, 1e30, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
+        inv_dy = jnp.where(dy == 0.0, 1e30, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
+        inv_dz = jnp.where(dz == 0.0, 1e30, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
+
+        def rc(a):
+            return a[:, None]
+
+        def slab6(mn0, mn1, mn2, mx0, mx1, mx2):
+            t0x = (mn0 - rc(ox)) * rc(inv_dx)
+            t1x = (mx0 - rc(ox)) * rc(inv_dx)
+            t0y = (mn1 - rc(oy)) * rc(inv_dy)
+            t1y = (mx1 - rc(oy)) * rc(inv_dy)
+            t0z = (mn2 - rc(oz)) * rc(inv_dz)
+            t1z = (mx2 - rc(oz)) * rc(inv_dz)
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z))
+            return tn, tf
+
+        # Outer level: all superblock AABBs at once.
+        tn_sb, tf_sb = slab6(*(sb_ref[i, :][None, :] for i in range(6)))
+        sbids = sbid_ref[0, :][None, :]
+        hit0_sb = jnp.where((tf_sb >= jnp.maximum(tn_sb, 0.0))
+                            & (tf_sb > rc(t_prev)) & (sbids >= 0), 1.0, 0.0)
+        tnmin_sb = jnp.min(jnp.where(hit0_sb > 0.0, tn_sb, jnp.inf), axis=0,
+                           keepdims=True)
+        iota_sb = jax.lax.broadcasted_iota(jnp.int32, (1, sbpad), 1)
+        iota_in = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def visit_dense(col, best):
+            """Dense [RT, block] Baldwin-Weber on block COLUMN col, table
+            window DMA'd from HBM (see _flat_kernel.visit_block for the
+            math and semantics notes)."""
+            bt, bi, bu, bv, bb = best
+            start = pl.multiple_of(col * block, 128)
+            cp = pltpu.make_async_copy(bw_ref.at[:, pl.ds(start, block)],
+                                       buf_ref, sem)
+            cp.start()
+            cp.wait()
+            bw = buf_ref[...]
+
+            def tr(c):
+                return bw[c, :][None, :]
+
+            dn = rc(dx) * tr(0) + rc(dy) * tr(1) + rc(dz) * tr(2)
+            ok = jnp.abs(dn) >= DET_EPS
+            invdn = 1.0 / jnp.where(ok, dn, 1.0)
+            on = rc(ox) * tr(0) + rc(oy) * tr(1) + rc(oz) * tr(2)
+            t = (tr(3) - on) * invdn
+            ok &= (t >= T_MIN) & (t > rc(t_prev))
+
+            hx = rc(ox) + t * rc(dx)
+            hy = rc(oy) + t * rc(dy)
+            hz = rc(oz) + t * rc(dz)
+            u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
+            ok &= (u >= 0.0) & (u <= 1.0)
+            v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
+            ok &= (v >= 0.0) & (u + v <= 1.0)
+
+            t = jnp.where(ok, t, jnp.inf)
+            tmin = jnp.min(t, axis=1)
+            colmin = jnp.argmin(t, axis=1).astype(jnp.int32)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (rt, block), 1)
+            sel = lanes == colmin[:, None]
+
+            def pick(arr2d):
+                return jnp.sum(jnp.where(sel, arr2d, 0.0), axis=1)
+
+            better = tmin < bt
+            bt = jnp.where(better, tmin, bt)
+            bi = jnp.where(better, start + colmin, bi)
+            bu = jnp.where(better, pick(u), bu)
+            bv = jnp.where(better, pick(v), bv)
+            bb = jnp.where(better, jnp.where(pick(dn) > 0.0, 1.0, 0.0), bb)
+            return bt, bi, bu, bv, bb
+
+        def visit_superblock(cur_sb, best):
+            """Inner argmin-next walk over the superblock's 128 block
+            columns (one aligned window of the flat block tables)."""
+            w = pl.multiple_of(cur_sb * 128, 128)
+            tn_in, tf_in = slab6(*(blk_ref[i, pl.ds(w, 128)][None, :]
+                                   for i in range(6)))
+            bids_in = bid_ref[0, pl.ds(w, 128)][None, :]
+            hit0_in = jnp.where((tf_in >= jnp.maximum(tn_in, 0.0))
+                                & (tf_in > rc(t_prev)) & (bids_in >= 0),
+                                1.0, 0.0)
+            tnmin_in = jnp.min(jnp.where(hit0_in > 0.0, tn_in, jnp.inf),
+                               axis=0, keepdims=True)
+
+            def next_in(visited, bt):
+                live = hit0_in * jnp.where(tn_in <= rc(bt), 1.0, 0.0)
+                anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
+                    & (visited == 0.0)
+                cand = jnp.where(anyhit, tnmin_in, jnp.inf)
+                m = jnp.min(cand)
+                return jnp.min(jnp.where(anyhit & (cand == m), iota_in, 128))
+
+            def cond(state):
+                return state[0] < 128
+
+            def body(state):
+                cur, visited, bt, bi, bu, bv, bb = state
+                best = visit_dense(cur_sb * 128 + cur, (bt, bi, bu, bv, bb))
+                visited = visited + jnp.where(iota_in == cur, 1.0, 0.0)
+                nxt = next_in(visited, best[0])
+                return (nxt, visited, *best)
+
+            visited0 = jnp.zeros((1, 128), jnp.float32)
+            first = next_in(visited0, best[0])
+            out = jax.lax.while_loop(cond, body, (first, visited0, *best))
+            return out[2:]
+
+        def next_sb(visited, bt):
+            live = hit0_sb * jnp.where(tn_sb <= rc(bt), 1.0, 0.0)
+            anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
+                & (visited == 0.0)
+            cand = jnp.where(anyhit, tnmin_sb, jnp.inf)
+            m = jnp.min(cand)
+            return jnp.min(jnp.where(anyhit & (cand == m), iota_sb, sbpad))
+
+        def cond(state):
+            return state[0] < sbpad
+
+        def body(state):
+            cur, visited, bt, bi, bu, bv, bb = state
+            best = visit_superblock(cur, (bt, bi, bu, bv, bb))
+            visited = visited + jnp.where(iota_sb == cur, 1.0, 0.0)
+            nxt = next_sb(visited, best[0])
+            return (nxt, visited, *best)
+
+        bt0 = jnp.full((rt,), jnp.inf, jnp.float32)
+        visited0 = jnp.zeros((1, sbpad), jnp.float32)
+        first = next_sb(visited0, bt0)
+        init = (
+            first,
+            visited0,
+            bt0,
+            jnp.full((rt,), -1, jnp.int32),
+            jnp.zeros((rt,), jnp.float32),
+            jnp.zeros((rt,), jnp.float32),
+            jnp.zeros((rt,), jnp.float32),
+        )
+        _, _, bt, bi, bu, bv, bb = jax.lax.while_loop(cond, body, init)
+
+        fout_ref[0, pl.ds(base, RAY_TILE)] = bt
+        fout_ref[1, pl.ds(base, RAY_TILE)] = bu
+        fout_ref[2, pl.ds(base, RAY_TILE)] = bv
+        fout_ref[3, pl.ds(base, RAY_TILE)] = bb
+        iout_ref[0, pl.ds(base, RAY_TILE)] = bi
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sbpad", "block", "interpret"))
+def _flat2_launch(o_t, d_t, t_prev, sbflat, sbid, blk, bid, bw_t, sbpad,
+                  block, interpret=False):
+    r = o_t.shape[1]
+    n_tiles = r // RAY_TILE
+    kernel = functools.partial(_flat2_kernel, sbpad=sbpad, block=block,
+                               n_tiles=n_tiles)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    fout, iout = pl.pallas_call(
+        kernel,
+        in_specs=[vm(), vm(), vm(), vm(), vm(), vm(), vm(),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[vm(), vm()],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, r), jnp.float32),
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((16, block), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o_t, d_t, t_prev, sbflat, sbid, blk, bid, bw_t)
+    return fout, iout
+
+
+def closest_hit_triangles_flat2(o, d, t_prev, scene,
+                                interpret=False) -> HitRecord:
+    """Two-level flat closest hit (pads rays to RAY_TILE)."""
+    r = o.shape[0]
+    r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+
+    def pad(x, fill=0.0):
+        if r_pad == r:
+            return x
+        cfg = [(0, r_pad - r)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    o_t = pad(o).T
+    d_t = pad(d, 1.0).T
+    tp = pad(t_prev, jnp.inf)[None, :]
+
+    fout, iout = _flat2_launch(o_t, d_t, tp, scene.sl_sbflat, scene.sl_sbid,
+                               scene.sl_blkflat, scene.sl_blkid,
+                               scene.sl_bw_t, scene.sl_sbflat.shape[1],
+                               scene.sl_block, interpret=interpret)
+    bt = fout[0, :r]
+    kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
+    packed = iout[0, :r]
+    prim = scene.sl_map[jnp.maximum(packed, 0)]
+    return HitRecord(
+        t=bt,
+        kind=kind,
+        prim=jnp.where(packed >= 0, prim, -1),
+        u=fout[1, :r],
+        v=fout[2, :r],
+        backface=fout[3, :r] != 0.0,
+        packed=packed,
+    )
+
+
+def _flat2_occ_kernel(o_ref, d_ref, tmax_ref, sb_ref, sbid_ref, blk_ref,
+                      bid_ref, bw_ref, out_ref, buf_ref, sem, *,
+                      sbpad: int, block: int, n_tiles: int, n_sets: int = 1):
+    """Two-level any-hit walk; ``n_sets`` direction/t_max sets share the
+    same origins (one launch for a bounce's shadow casts, see
+    _flat_occ_kernel)."""
+    def tile_body(tile, _):
+        base = tile * RAY_TILE
+        ox = o_ref[0, pl.ds(base, RAY_TILE)]
+        oy = o_ref[1, pl.ds(base, RAY_TILE)]
+        oz = o_ref[2, pl.ds(base, RAY_TILE)]
+        iota_sb = jax.lax.broadcasted_iota(jnp.int32, (1, sbpad), 1)
+        iota_in = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        sbids = sbid_ref[0, :][None, :]
+
+        def rc(a):
+            return a[:, None]
+
+        def one_set(li):
+            dx = d_ref[3 * li + 0, pl.ds(base, RAY_TILE)]
+            dy = d_ref[3 * li + 1, pl.ds(base, RAY_TILE)]
+            dz = d_ref[3 * li + 2, pl.ds(base, RAY_TILE)]
+            t_max = tmax_ref[li, pl.ds(base, RAY_TILE)]
+            # Zero-guarded reciprocals (see the flat kernel note).
+            inv_dx = jnp.where(dx == 0.0, 1e30,
+                               1.0 / jnp.where(dx == 0.0, 1.0, dx))
+            inv_dy = jnp.where(dy == 0.0, 1e30,
+                               1.0 / jnp.where(dy == 0.0, 1.0, dy))
+            inv_dz = jnp.where(dz == 0.0, 1e30,
+                               1.0 / jnp.where(dz == 0.0, 1.0, dz))
+
+            def slab6(mn0, mn1, mn2, mx0, mx1, mx2):
+                t0x = (mn0 - rc(ox)) * rc(inv_dx)
+                t1x = (mx0 - rc(ox)) * rc(inv_dx)
+                t0y = (mn1 - rc(oy)) * rc(inv_dy)
+                t1y = (mx1 - rc(oy)) * rc(inv_dy)
+                t0z = (mn2 - rc(oz)) * rc(inv_dz)
+                t1z = (mx2 - rc(oz)) * rc(inv_dz)
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.minimum(t0z, t1z))
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z))
+                return tn, tf
+
+            tn_sb, tf_sb = slab6(*(sb_ref[i, :][None, :] for i in range(6)))
+            hit0_sb = jnp.where((tf_sb >= jnp.maximum(tn_sb, 0.0))
+                                & (tn_sb <= rc(t_max)) & (rc(t_max) >= 0.0)
+                                & (sbids >= 0), 1.0, 0.0)
+            tnmin_sb = jnp.min(jnp.where(hit0_sb > 0.0, tn_sb, jnp.inf),
+                               axis=0, keepdims=True)
+
+            def visit_dense(col, occ):
+                start = pl.multiple_of(col * block, 128)
+                cp = pltpu.make_async_copy(
+                    bw_ref.at[:, pl.ds(start, block)], buf_ref, sem)
+                cp.start()
+                cp.wait()
+                bw = buf_ref[...]
+
+                def tr(c):
+                    return bw[c, :][None, :]
+
+                dn = rc(dx) * tr(0) + rc(dy) * tr(1) + rc(dz) * tr(2)
+                ok = jnp.abs(dn) >= DET_EPS
+                invdn = 1.0 / jnp.where(ok, dn, 1.0)
+                on = rc(ox) * tr(0) + rc(oy) * tr(1) + rc(oz) * tr(2)
+                t = (tr(3) - on) * invdn
+                ok &= (t >= T_MIN) & (t <= rc(t_max))
+
+                hx = rc(ox) + t * rc(dx)
+                hy = rc(oy) + t * rc(dy)
+                hz = rc(oz) + t * rc(dz)
+                u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
+                ok &= (u >= 0.0)
+                v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
+                ok &= (v >= 0.0) & (u + v <= 1.0)
+
+                hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1)
+                return jnp.maximum(occ, hit)
+
+            def visit_superblock(cur_sb, occ):
+                w = pl.multiple_of(cur_sb * 128, 128)
+                tn_in, tf_in = slab6(*(blk_ref[i, pl.ds(w, 128)][None, :]
+                                       for i in range(6)))
+                bids_in = bid_ref[0, pl.ds(w, 128)][None, :]
+                hit0_in = jnp.where((tf_in >= jnp.maximum(tn_in, 0.0))
+                                    & (tn_in <= rc(t_max)) & (bids_in >= 0),
+                                    1.0, 0.0)
+                tnmin_in = jnp.min(jnp.where(hit0_in > 0.0, tn_in, jnp.inf),
+                                   axis=0, keepdims=True)
+
+                def next_in(visited, occ):
+                    live = hit0_in * jnp.where(rc(occ) < 1.0, 1.0, 0.0)
+                    anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
+                        & (visited == 0.0)
+                    cand = jnp.where(anyhit, tnmin_in, jnp.inf)
+                    m = jnp.min(cand)
+                    return jnp.min(jnp.where(anyhit & (cand == m), iota_in,
+                                             128))
+
+                def cond(state):
+                    return state[0] < 128
+
+                def body(state):
+                    cur, visited, occ = state
+                    occ = visit_dense(cur_sb * 128 + cur, occ)
+                    visited = visited + jnp.where(iota_in == cur, 1.0, 0.0)
+                    return (next_in(visited, occ), visited, occ)
+
+                visited0 = jnp.zeros((1, 128), jnp.float32)
+                first = next_in(visited0, occ)
+                _, _, occ = jax.lax.while_loop(cond, body,
+                                               (first, visited0, occ))
+                return occ
+
+            def next_sb(visited, occ):
+                live = hit0_sb * jnp.where(rc(occ) < 1.0, 1.0, 0.0)
+                anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
+                    & (visited == 0.0)
+                cand = jnp.where(anyhit, tnmin_sb, jnp.inf)
+                m = jnp.min(cand)
+                return jnp.min(jnp.where(anyhit & (cand == m), iota_sb,
+                                         sbpad))
+
+            def cond(state):
+                return state[0] < sbpad
+
+            def body(state):
+                cur, visited, occ = state
+                occ = visit_superblock(cur, occ)
+                visited = visited + jnp.where(iota_sb == cur, 1.0, 0.0)
+                return (next_sb(visited, occ), visited, occ)
+
+            occ0 = jnp.where(t_max < 0.0, 1.0, 0.0)  # dead lanes: occluded
+            visited0 = jnp.zeros((1, sbpad), jnp.float32)
+            first = next_sb(visited0, occ0)
+            _, _, occ = jax.lax.while_loop(cond, body,
+                                           (first, visited0, occ0))
+            out_ref[li, pl.ds(base, RAY_TILE)] = occ
+
+        for li in range(n_sets):
+            one_set(li)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sbpad", "block", "n_sets", "interpret"))
+def _flat2_occ_launch(o_t, d_t, t_max, sbflat, sbid, blk, bid, bw_t, sbpad,
+                      block, n_sets=1, interpret=False):
+    r = o_t.shape[1]
+    n_tiles = r // RAY_TILE
+    kernel = functools.partial(_flat2_occ_kernel, sbpad=sbpad, block=block,
+                               n_tiles=n_tiles, n_sets=n_sets)
+    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    (out,) = pl.pallas_call(
+        kernel,
+        in_specs=[vm(), vm(), vm(), vm(), vm(), vm(), vm(),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[vm()],
+        out_shape=[jax.ShapeDtypeStruct((n_sets, r), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((16, block), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(o_t, d_t, t_max, sbflat, sbid, blk, bid, bw_t)
+    return out
+
+
+def occluded_triangles_flat2(o, d, t_max, scene, interpret=False):
+    """[R] bool any-hit via the two-level flat walk."""
+    r = o.shape[0]
+    r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+
+    def pad(x, fill=0.0):
+        if r_pad == r:
+            return x
+        cfg = [(0, r_pad - r)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    o_t = pad(o).T
+    d_t = pad(d, 1.0).T
+    tm = pad(t_max, -1.0)[None, :]
+
+    out = _flat2_occ_launch(o_t, d_t, tm, scene.sl_sbflat, scene.sl_sbid,
+                            scene.sl_blkflat, scene.sl_blkid, scene.sl_bw_t,
+                            scene.sl_sbflat.shape[1], scene.sl_block,
+                            interpret=interpret)
+    return out[0, :r] > 0.0
+
+
+def occluded_triangles_flat2_multi(o, ds, t_maxes, scene, interpret=False):
+    """Batched two-level any-hit (see occluded_triangles_flat_multi)."""
+    r = o.shape[0]
+    n_sets = len(ds)
+    r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+
+    def pad(x, fill=0.0):
+        if r_pad == r:
+            return x
+        cfg = [(0, r_pad - r)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    o_t = pad(o).T
+    d_t = jnp.concatenate([pad(d, 1.0).T for d in ds], axis=0)
+    tm = jnp.stack([pad(t, -1.0) for t in t_maxes], axis=0)
+
+    out = _flat2_occ_launch(o_t, d_t, tm, scene.sl_sbflat, scene.sl_sbid,
+                            scene.sl_blkflat, scene.sl_blkid, scene.sl_bw_t,
+                            scene.sl_sbflat.shape[1], scene.sl_block,
+                            n_sets=n_sets, interpret=interpret)
+    return out[:, :r] > 0.0

@@ -96,7 +96,9 @@ def _baldwin_weber_rows(sl_tris: np.ndarray) -> np.ndarray:
     inv = np.where(nn > 0.0, 1.0 / np.where(nn > 0.0, nn, 1.0), 0.0)
     au3 = np.cross(e2, n) * inv
     av3 = np.cross(n, e1) * inv
-    out = np.empty((12, sl_tris.shape[0]), np.float32)
+    # 16 rows (12 used + 4 zero): Mosaic DMA slices (HBM-streamed visits)
+    # need the sublane dimension aligned to 8.
+    out = np.zeros((16, sl_tris.shape[0]), np.float32)
     out[0:3] = n.T
     out[3] = (v0 * n).sum(axis=1)
     out[4:7] = au3.T
@@ -207,7 +209,7 @@ class DeviceScene:
     # (Au.h + au, Av.h + av). ~20% fewer VPU ops per (ray, tri) than
     # recomputing the Moller-Trumbore cross products, at 12 rows vs 9
     # (semantics identical: det = -d.n, same DET_EPS/T_MIN/backface tests).
-    sl_bw_t: jax.Array  # [12, n_blocks*512] f32 (n.xyz, c, Au.xyz, au, Av.xyz, av)
+    sl_bw_t: jax.Array  # [16, n_blocks*512] f32 (n.xyz, c, Au.xyz, au, Av.xyz, av, 4 pad rows)
     sl_map: jax.Array  # [n_blocks*512] i32 packed->global prim id (pad: 0)
     # FLAT per-block tables for the flat-visit kernel: with a few hundred
     # superleaf blocks, slab-testing EVERY block bound against the whole ray
@@ -217,6 +219,12 @@ class DeviceScene:
     # order is irrelevant; pad columns are marked by block id -1.
     sl_blkflat: jax.Array  # [8, Bpad] f32 (mn.xyz, mx.xyz, 2 pad)
     sl_blkid: jax.Array  # [1, Bpad] i32 block id per column (-1 = pad)
+    # SUPERBLOCK bounds for the two-level flat walk (big scenes): column j
+    # is the AABB union of block columns [128j, 128j+128). The inner level
+    # reads 128-aligned block-column windows, so no explicit membership
+    # table is needed.
+    sl_sbflat: jax.Array  # [8, SBpad] f32 (mn.xyz, mx.xyz, 2 pad)
+    sl_sbid: jax.Array  # [1, SBpad] i32 superblock id (-1 = pad)
     # PACKED-ORDER wide shading-attribute table, one row per superleaf slot.
     # TPU gathers cost ~the same per index regardless of row width (measured:
     # a [100k,3] and a [100k,32] gather are both ~6 ms at 2^18 indices), so
@@ -566,6 +574,22 @@ def build_device_scene(scene: isf.Scene, root,
         sl_blkflat[0:3, :n_blocks] = blk_min.T
         sl_blkflat[3:6, :n_blocks] = blk_max.T
         sl_blkid[0, :n_blocks] = np.arange(n_blocks)
+        # Superblock unions over 128-column groups (pad columns are the
+        # min/max identities, so they never widen a union).
+        nsb = b_pad // 128
+        gm = np.full((nsb * 128, 3), np.inf, np.float32)
+        gm[:n_blocks] = blk_min
+        gx = np.full((nsb * 128, 3), -np.inf, np.float32)
+        gx[:n_blocks] = blk_max
+        sb_pad = ((nsb + 127) // 128) * 128
+        sl_sbflat = np.zeros((8, sb_pad), np.float32)
+        sl_sbid = np.full((1, sb_pad), -1, np.int32)
+        valid = np.arange(nsb) * 128 < n_blocks
+        sb_min = gm.reshape(nsb, 128, 3).min(axis=1)
+        sb_max = gx.reshape(nsb, 128, 3).max(axis=1)
+        sl_sbflat[0:3, :nsb] = np.where(valid[None, :], sb_min.T, 0.0)
+        sl_sbflat[3:6, :nsb] = np.where(valid[None, :], sb_max.T, 0.0)
+        sl_sbid[0, :nsb] = np.where(valid, np.arange(nsb), -1)
     else:
         n_blocks = 0
         nsl = 1
@@ -580,6 +604,8 @@ def build_device_scene(scene: isf.Scene, root,
         sl_inv = np.zeros(n_pad, np.int32)
         sl_blkflat = np.zeros((8, 128), np.float32)
         sl_blkid = np.full((1, 128), -1, np.int32)
+        sl_sbflat = np.zeros((8, 128), np.float32)
+        sl_sbid = np.full((1, 128), -1, np.int32)
 
     # Spheres padded to >= 1 with a guaranteed-miss entry (center at 1e30 so
     # the quadratic discriminant is hugely negative for any practical ray).
@@ -693,6 +719,8 @@ def build_device_scene(scene: isf.Scene, root,
         sl_map=jnp.asarray(sl_map),
         sl_blkflat=jnp.asarray(sl_blkflat),
         sl_blkid=jnp.asarray(sl_blkid),
+        sl_sbflat=jnp.asarray(sl_sbflat),
+        sl_sbid=jnp.asarray(sl_sbid),
         sl_attr=jnp.asarray(sl_attr),
         sl_inv=jnp.asarray(sl_inv),
         sph_packed_t=jnp.asarray(sph_packed_t_np),

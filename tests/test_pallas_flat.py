@@ -145,3 +145,45 @@ def test_tree_streaming_matches_resident(head_scene):
     occ_s = occluded_triangles_packet(o, d, above, head_scene, stream=True,
                                       interpret=True)
     np.testing.assert_array_equal(np.asarray(occ_r), np.asarray(occ_s))
+
+
+def test_flat2_matches_brute(head_scene):
+    """Two-level flat walk (big-scene path) == brute force on closest hit
+    and occlusion, interpret mode."""
+    from path_tracer_tpu.ops.intersect import closest_hit_triangles
+    from path_tracer_tpu.ops.pallas_bvh import (
+        closest_hit_triangles_flat2,
+        occluded_triangles_flat2,
+        occluded_triangles_flat2_multi,
+    )
+
+    r = 512
+    o, d = _rays(head_scene, r, 6)
+    for t_prev in (-1.0, 0.5):
+        tp = jnp.full((r,), t_prev, jnp.float32)
+        brute = closest_hit_triangles(o, d, tp, head_scene, block=512)
+        got = closest_hit_triangles_flat2(o, d, tp, head_scene,
+                                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(brute.kind),
+                                      np.asarray(got.kind))
+        np.testing.assert_array_equal(np.asarray(brute.prim),
+                                      np.asarray(got.prim))
+        np.testing.assert_allclose(np.asarray(brute.t), np.asarray(got.t),
+                                   rtol=5e-5, atol=1e-5)
+
+    tp = jnp.full((r,), -1.0, jnp.float32)
+    brute = closest_hit_triangles(o, d, tp, head_scene, block=512)
+    t = np.asarray(brute.t)
+    above = jnp.asarray(np.where(np.isfinite(t), t * 1.01, 50.0)
+                        .astype(np.float32))
+    below = jnp.asarray(np.where(np.isfinite(t), t * 0.99, 0.5)
+                        .astype(np.float32))
+    occ = occluded_triangles_flat2(o, d, above, head_scene, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ), np.isfinite(t))
+    occ = occluded_triangles_flat2(o, d, below, head_scene, interpret=True)
+    assert not np.asarray(occ).any()
+
+    multi = occluded_triangles_flat2_multi(o, [d, d], [above, below],
+                                           head_scene, interpret=True)
+    np.testing.assert_array_equal(np.asarray(multi[0]), np.isfinite(t))
+    assert not np.asarray(multi[1]).any()

@@ -35,8 +35,10 @@ def main() -> int:
     )
     from path_tracer_tpu.ops.pallas_bvh import (
         closest_hit_triangles_flat,
+        closest_hit_triangles_flat2,
         closest_hit_triangles_packet,
         occluded_triangles_flat,
+        occluded_triangles_flat2,
         occluded_triangles_packet,
     )
     from path_tracer_tpu.ops.pallas_intersect import closest_hit_triangles_pallas
@@ -75,7 +77,13 @@ def main() -> int:
     # rounding profile — (c - o.n) cancels for hits close to a far-from-
     # origin ray start, so t can differ from the MT reference by a few
     # 1e-5 relative on such lanes (prims must still match exactly).
+    # flat2 (two-level big-scene walk) is exercised here on the small scene
+    # to catch Mosaic regressions cheaply; grazing-edge u/v boundary flips
+    # between the BW and MT forms occur at ~1e-5 rate on big scenes (a
+    # shared-edge neighbor wins instead — measured benign), so prim
+    # mismatches are tolerated only where both t values agree.
     for name, fn, trtol in (("flat", closest_hit_triangles_flat, 5e-5),
+                            ("flat2", closest_hit_triangles_flat2, 5e-5),
                             ("tree", closest_hit_triangles_packet, 1e-5)):
         got = fn(o, d, tp, scene)
         same_prim = np.array_equal(np.asarray(got.prim), ref.prim)
@@ -88,6 +96,7 @@ def main() -> int:
     above = jnp.asarray(t_ref * 1.01)
     occ_ref = (ref.t <= np.asarray(above))
     for name, fn in (("flat", occluded_triangles_flat),
+                     ("flat2", occluded_triangles_flat2),
                      ("tree", occluded_triangles_packet)):
         got = np.asarray(fn(o, d, above, scene))
         check(f"occlusion {name} (compiled)", np.array_equal(got, occ_ref),
