@@ -138,6 +138,37 @@ def main() -> int:
           and np.allclose(np.asarray(sgot.t), np.asarray(sref.t),
                           rtol=1e-4, atol=1e-5, equal_nan=True))
 
+    # Image-level gate on the REAL chip: the full integrator through the
+    # flat-BVH path (packed-row shading, batched any-hit shadows) vs the
+    # same integrator through the brute-force path (narrow gathers, no
+    # packed ids). The CPU golden suite never exercises the compiled
+    # kernels or the baked sl_attr row path, so this is the only numeric
+    # check of TPU renders end-to-end. Same RNG streams both sides — only
+    # intersection rounding differs (BW vs MT boundary flips at ~1e-5/ray),
+    # so the tonemapped images must agree to well under 1 u8 step on mean.
+    from path_tracer_tpu.models.integrator import IntegratorSpec
+    from path_tracer_tpu.models.renderer import render_pixel_sums
+    from path_tracer_tpu.ops.tonemap import post_process, to_u8
+    from path_tracer_tpu.scene.showcase import showcase_scene
+    from path_tracer_tpu.scene.device_scene import build_device_scene
+
+    sc = showcase_scene(grid=96)
+    spec = IntegratorSpec(bounces=3, differentiable=False)
+    w, h, spp = 96, 54, 4
+
+    def run(use_bvh):
+        dev = build_device_scene(sc, root=".", use_bvh=use_bvh)
+        acc = render_pixel_sums(dev, w, h, 1, spp, spec)
+        rad = jnp.asarray(np.asarray(acc).reshape(h, w, 3) / spp)
+        return np.asarray(to_u8(post_process("FILMIC", rad)))
+
+    img_bvh = run(True)
+    img_brute = run(False)
+    diff = np.abs(img_bvh.astype(np.float64) - img_brute.astype(np.float64))
+    check("render flat-BVH vs brute (compiled, tonemapped)",
+          diff.mean() <= 0.5 and diff.max() <= 64,
+          f"mean|d|={diff.mean():.3f} max={diff.max():.0f}")
+
     if failures:
         print(f"FAILURES: {failures}")
         return 1
