@@ -183,6 +183,18 @@ def closest_hit_spheres(o, d, t_prev, scene) -> HitRecord:
     )
 
 
+def _detach_for_kernel(*args):
+    """stop_gradient for Pallas kernel inputs. The kernels have no AD rules,
+    and hit geometry is a detached discrete event by design (SURVEY §7) —
+    without this, jax.grad on the TPU path fails to LINEARIZE the
+    pallas_call ("Linearization failed to produce known values"). The
+    CPU/jnp path never needed it because the jnp kernels are differentiable
+    and the walks detach their OUTPUTS; gradients flow through shading
+    (positions, falloff, BRDF), never through intersection, on both paths.
+    """
+    return jax.lax.stop_gradient(args)
+
+
 def occluded(o, d, scene, surf_pos=None, max_dist=None,
              block: int = 512, active=None) -> jnp.ndarray:
     """[R] bool any-hit occlusion query — the fast shadow path for fully
@@ -241,6 +253,7 @@ def occluded(o, d, scene, surf_pos=None, max_dist=None,
             occ_fn = {"flat": occluded_triangles_flat,
                       "flat2": occluded_triangles_flat2,
                       "tree": occluded_triangles_packet}[_walk_variant(scene)]
+            o, d, t_max, scene = _detach_for_kernel(o, d, t_max, scene)
             if _device_sort():
                 root = scene.bvh_nodes[0]
                 keys = ray_sort_keys(o, d, root[0:3], root[3:6])
@@ -356,7 +369,8 @@ def occluded_multi(o, dirs, scene, surf_pos=None, max_dists=None,
     multi_fn = (occluded_triangles_flat_multi
                 if _walk_variant(scene) == "flat"
                 else occluded_triangles_flat2_multi)
-    tri_occ = multi_fn(o, dirs, t_maxes, scene)
+    ko, kdirs, kt, kscene = _detach_for_kernel(o, dirs, t_maxes, scene)
+    tri_occ = multi_fn(ko, kdirs, kt, kscene)
 
     outs = []
     for i in range(n_lights):
@@ -460,6 +474,7 @@ def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
     if active is not None:
         t_prev = jnp.where(active, t_prev, jnp.inf)
     if _on_tpu():
+        o, d, t_prev, scene = _detach_for_kernel(o, d, t_prev, scene)
         if getattr(scene, "use_bvh", False):
             from path_tracer_tpu.ops.pallas_bvh import (
                 closest_hit_triangles_flat,
@@ -517,7 +532,8 @@ def closest_hit(o, d, t_prev, scene, block: int = 512,
     elif _on_tpu():
         from path_tracer_tpu.ops.pallas_spheres import closest_hit_spheres_pallas
 
-        sph = closest_hit_spheres_pallas(o, d, t_prev, scene)
+        sph = closest_hit_spheres_pallas(
+            *_detach_for_kernel(o, d, t_prev, scene))
     else:
         sph = closest_hit_spheres(o, d, t_prev, scene)
     if has_sphs and getattr(scene, "sph_row_base", 0):
