@@ -1,0 +1,81 @@
+"""TPU renders vs the independent scalar oracle's frozen goldens.
+
+tests/test_oracle_parity.py runs the same comparison on CPU (jnp kernel
+paths); this tool runs it against renders produced by the COMPILED Pallas
+kernels on the real chip, closing the last gap between "kernels match jnp"
+and "TPU images match the reference semantics". Uses the same frozen
+goldens and tolerances (the comparison is statistical — different RNG
+streams — so no extra slack is needed for kernel rounding).
+
+    python tests/tools/tpu_oracle_check.py [case ...]
+
+Default cases cover each compiled kernel family: brute MT (cube, head),
+fused spheres (spheres), deep alpha walks (alpha_transparency), and
+Russian roulette (cube_rr_b6). Exit 0 = all pass.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+DEFAULT_CASES = ("cube", "head", "spheres", "alpha_transparency",
+                 "cube_rr_b6")
+
+
+def main(cases) -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/path_tracer_tpu/xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("SKIP: no TPU backend (this check targets the real chip)")
+        return 0
+
+    from tests.oracle.reference_oracle import post_process
+    from tests.test_oracle_parity import CASES, GOLDEN, _render_wavefront
+
+    failures = []
+    for case in cases:
+        path = GOLDEN / f"{case}.npz"
+        z = np.load(path)
+        oracle = z["radiance"].astype(np.float64)
+        w, h, spp, bounces = (int(z["width"]), int(z["height"]),
+                              int(z["spp"]), int(z["bounces"]))
+        tol, walk, energy_rtol = CASES[case]
+        wave = _render_wavefront(REPO / str(z["scene"]), w, h, spp, bounces,
+                                 walk)
+
+        finite = (np.isfinite(oracle).all(axis=-1)
+                  & np.isfinite(wave).all(axis=-1))
+        om = oracle[finite].mean()
+        wm = wave[finite].mean()
+        o8 = post_process("FILMIC", oracle).astype(np.int64)
+        w8 = post_process("FILMIC", np.maximum(wave, 0.0)).astype(np.int64)
+        diff = np.abs(o8 - w8)[finite]
+        ok = (finite.mean() > 0.99
+              and abs(om - wm) <= max(energy_rtol * om, 5e-4)
+              and diff.mean() <= tol
+              and np.percentile(diff, 99) <= 40)
+        print(f"tpu-vs-oracle {case}: {'OK' if ok else 'FAIL'} "
+              f"mean|u8|={diff.mean():.2f} (tol {tol}) "
+              f"energy {wm:.4f} vs {om:.4f}", flush=True)
+        if not ok:
+            failures.append(case)
+
+    if failures:
+        print(f"FAILURES: {failures}")
+        return 1
+    print("all TPU renders match the oracle goldens")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(tuple(sys.argv[1:]) or DEFAULT_CASES))
