@@ -77,7 +77,11 @@ def main() -> None:
         acc = render_pixel_sums(scene, WIDTH, HEIGHT, sample_start, n_samples,
                                 spec, tile_rays=1 << 18,
                                 samples_per_launch=WARMUP_SAMPLES,
-                                snapshot=False)
+                                snapshot=False,
+                                # PT_SPW: samples-per-wavefront packet
+                                # packing A/B knob (PERF.md, test_spw).
+                                samples_per_wavefront=int(
+                                    os.environ.get("PT_SPW", "1")))
         return acc
 
     def sync(accs):

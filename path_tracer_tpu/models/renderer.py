@@ -37,18 +37,46 @@ def integrator_spec(profile: Profile) -> IntegratorSpec:
 
 
 @partial(jax.jit,
-         static_argnames=("width", "height", "n_samples", "spec"),
+         static_argnames=("width", "height", "n_samples", "spec", "spw"),
          donate_argnums=(0,))
 def _accumulate_tile(acc, scene, pixel_ids, width, height, sample_start,
-                     n_samples, spec):
-    """acc [R,3] += sum of n_samples successive samples for one tile."""
+                     n_samples, spec, spw=1):
+    """acc [P,3] += sum of n_samples successive samples for one tile.
+
+    With ``spw`` > 1 (samples-per-wavefront packing), ``pixel_ids`` holds
+    each pixel ``spw`` times — every RAY_TILE-lane kernel packet covers
+    RAY_TILE/spw pixels x spw consecutive sample ids — so a packet's screen
+    footprint (and its BVH block union, the dense-region traversal cost)
+    shrinks by spw. The per-(pixel, sample) RNG streams are IDENTICAL to
+    the spw=1 schedule: only the float accumulation order changes.
+    Measured on the dense bench tiles: tests/tools/spw_probe.py, PERF.md.
+    """
+    if spw == 1:
+        def body(carry, k):
+            rad = render_wavefront(scene, pixel_ids, width, height,
+                                   sample_start + k, spec)
+            return carry + rad, None
+
+        acc, _ = jax.lax.scan(body, acc, jnp.arange(n_samples))
+        return acc
+
+    from path_tracer_tpu.ops.pallas_bvh import RAY_TILE
+
+    assert n_samples % spw == 0, (n_samples, spw)
+    assert not spec.compact, "spw>1 permutes lanes' sample ids under compact"
+    sb = RAY_TILE // spw  # pixels per kernel packet
+    r = pixel_ids.shape[0]
+    lane_off = jnp.tile(jnp.repeat(jnp.arange(spw, dtype=jnp.int32), sb),
+                        r // RAY_TILE)
 
     def body(carry, k):
-        rad = render_wavefront(scene, pixel_ids, width, height,
-                               sample_start + k, spec)
+        sid = sample_start + k * spw + lane_off  # per-lane sample ids
+        rad = render_wavefront(scene, pixel_ids, width, height, sid, spec)
+        # Reduce the spw sample copies of each pixel: [K, spw, sb, 3] lanes.
+        rad = rad.reshape(-1, spw, sb, 3).sum(axis=1).reshape(-1, 3)
         return carry + rad, None
 
-    acc, _ = jax.lax.scan(body, acc, jnp.arange(n_samples))
+    acc, _ = jax.lax.scan(body, acc, jnp.arange(n_samples // spw))
     return acc
 
 
@@ -58,7 +86,8 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
                       samples_per_launch: int = 1,
                       pass_callback=None,
                       init_accum: np.ndarray | None = None,
-                      snapshot: bool = True) -> np.ndarray:
+                      snapshot: bool = True,
+                      samples_per_wavefront: int = 1) -> np.ndarray:
     """Radiance sums [W*H, 3] over n_samples consecutive sample ids.
 
     The tiles x sample-batches launch loop without post-processing — used by
@@ -74,14 +103,29 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
     must stay transfer-free.
     """
     n_pix = width * height
-    tile = min(tile_rays, max(1, n_pix))
     n_dev = len(jax.devices())
+    spw = max(1, samples_per_wavefront)
+    from path_tracer_tpu.ops.pallas_bvh import RAY_TILE
+
+    if spw > 1 and (n_dev > 1 or spec.compact or n_samples % spw != 0
+                    or RAY_TILE % spw != 0 or tile_rays % RAY_TILE != 0
+                    or tile_rays // spw > n_pix):
+        # Packing needs: single device (render_sharded shards lanes, not
+        # pixel/sample pairs), no lane-permuting compaction, a sample count
+        # it divides, and RAY_TILE-aligned tiles no bigger than the frame.
+        print(f"[renderer] samples_per_wavefront={spw} unsupported for this "
+              f"config; falling back to 1", flush=True)
+        spw = 1
+    tile = min(tile_rays, max(1, n_pix)) if spw == 1 else tile_rays
     if n_dev > 1:
         # Round the tile up to a device multiple so every tile can shard
         # across the mesh (padded lanes render pixel 0 and are discarded).
         tile = ((tile + n_dev - 1) // n_dev) * n_dev
-    n_tiles = (n_pix + tile - 1) // tile
+    tpix = tile // spw  # distinct pixels per launch
+    n_tiles = (n_pix + tpix - 1) // tpix
     spl = max(1, samples_per_launch)
+    if spw > 1:
+        spl = max(spw, (spl // spw) * spw)  # batches must divide by spw
 
     # Pixels stream in HOST-computed Morton (16x16 screen tile) order: ray
     # packets then cover screen squares, which makes every cast's wavefront
@@ -90,17 +134,25 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
     from path_tracer_tpu.ops.sorting import morton_pixel_order
 
     morton = morton_pixel_order(width, height)
-    all_ids = np.zeros(n_tiles * tile, dtype=np.int32)
-    all_ids[:n_pix] = morton  # padded lanes re-render pixel 0; discarded
+    all_pix = np.zeros(n_tiles * tpix, dtype=np.int32)
+    all_pix[:n_pix] = morton  # padded lanes re-render pixel 0; discarded
+    if spw == 1:
+        all_ids = all_pix
+    else:
+        # Each RAY_TILE-lane kernel packet = (RAY_TILE/spw) consecutive
+        # pixels x spw sample copies (per-lane offsets: _accumulate_tile).
+        sb = RAY_TILE // spw
+        all_ids = np.repeat(all_pix.reshape(-1, 1, sb), spw,
+                            axis=1).reshape(-1)
     tile_ids = [jnp.asarray(all_ids[t * tile : (t + 1) * tile])
                 for t in range(n_tiles)]
     if init_accum is not None:
-        padded = np.zeros((n_tiles * tile, 3), np.float32)
+        padded = np.zeros((n_tiles * tpix, 3), np.float32)
         padded[:n_pix] = init_accum[morton]
-        accs = [jnp.asarray(padded[t * tile : (t + 1) * tile])
+        accs = [jnp.asarray(padded[t * tpix : (t + 1) * tpix])
                 for t in range(n_tiles)]
     else:
-        accs = [jnp.zeros((tile, 3), jnp.float32) for _ in range(n_tiles)]
+        accs = [jnp.zeros((tpix, 3), jnp.float32) for _ in range(n_tiles)]
 
     # Multi-device: route tiles through the shard_map renderer (pixel lanes
     # sharded, scene replicated; the counter-based RNG makes results
@@ -135,7 +187,7 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
             else:
                 accs[ti] = _accumulate_tile(accs[ti], scene, tile_ids[ti],
                                             width, height, jnp.int32(sample),
-                                            k, spec)
+                                            k, spec, spw=spw)
         sample += k
         if pass_callback is not None:
             pass_callback(sample - sample_start, take_snapshot)

@@ -43,7 +43,12 @@ def main() -> None:
     R = 1 << 18
     spec = IntegratorSpec(bounces=5, differentiable=False)
     morton = morton_pixel_order(W, H)
-    pix = jnp.asarray(morton[:R])
+    # PT_ABL_TILE: which 2^18-pixel Morton tile to ablate (default 0; the
+    # 1080p frame has 8 — tile_cost_split.py shows tiles 2-3 cost ~2x tile 0).
+    ti = int(os.environ.get("PT_ABL_TILE", "0"))
+    pad = np.zeros(((W * H + R - 1) // R) * R, dtype=np.int32)
+    pad[: W * H] = morton
+    pix = jnp.asarray(pad[ti * R : (ti + 1) * R])
 
     orig = dict(
         eval_direct=brdf.eval_direct,
