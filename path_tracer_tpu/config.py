@@ -54,6 +54,10 @@ class Profile:
     tile_rays: int = 1 << 16
     # Samples accumulated per launch (inner sample batch).
     samples_per_launch: int = 1
+    # Sample copies packed per kernel packet (shrinks the packet's screen
+    # footprint and BVH block union by this factor; measured ~neutral on
+    # the showcase, PERF.md — off by default; single-device only).
+    samples_per_wavefront: int = 1
     # RNG seed (the reference derives streams from (pixel, sample) only,
     # src/renderer/mod.rs:110-112; we additionally mix a seed).
     seed: int = 0
@@ -95,6 +99,7 @@ class Profile:
             "shadow_walk_steps",
             "tile_rays",
             "samples_per_launch",
+            "samples_per_wavefront",
             "seed",
         ):
             if key in raw:

@@ -248,6 +248,7 @@ def render(scene, profile: Profile, progress: bool = False,
             profile.samples - samples_done, spec,
             tile_rays=profile.tile_rays,
             samples_per_launch=profile.samples_per_launch,
+            samples_per_wavefront=profile.samples_per_wavefront,
             pass_callback=on_pass,
             init_accum=init_accum,
         )
