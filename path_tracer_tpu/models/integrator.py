@@ -181,39 +181,60 @@ def _surface(scene, hit: HitRecord, o, d, row=None,
         # surface instead of off it.
         pos = o + d * t_safe[:, None]
     else:
-        # Planar reparameterization of the hit distance: t is a discrete
+        # Reparameterization of the hit distance: t is a discrete
         # intersector output (detached), so pos = o + t*d alone gives
         # gradients that move the hit point OFF the surface when o/d depend
-        # on parameters (camera transform). Recomputing t as the ray/plane
-        # intersection with a DETACHED anchor point and surface plane —
-        # t = ((p0-o).n0)/(d.n0) — is value-identical (p0 = o + t d lies on
-        # the plane) but its derivative slides the hit point ALONG the
-        # surface, making camera/geometry gradients first-order exact away
-        # from silhouettes (tangent-plane approximation for spheres).
-        # Grazing lanes (|d.n0| ~ 0) fall back to the detached t.
+        # on parameters (camera transform).
+        #
+        # Triangles: recompute t as the ray/plane intersection with a
+        # DETACHED anchor point and surface plane — t = ((p0-o).n0)/(d.n0) —
+        # value-identical (p0 = o + t d lies on the plane) but its derivative
+        # slides the hit point ALONG the surface, making camera gradients
+        # first-order exact away from silhouettes. Grazing lanes
+        # (|d.n0| ~ 0) fall back to the detached t.
+        #
+        # Spheres: re-derive t from the DIFFERENTIABLE quadratic root using
+        # the live center/radius arrays (root CHOICE — near vs far — is the
+        # detached discrete event, keyed by hit.backface). Applied as a
+        # straight-through estimator (value = detached t, tangent = d t_quad)
+        # so forward values are bit-identical to the detached path while
+        # camera AND sphere-parameter (center/radius) gradients are
+        # first-order exact away from silhouettes.
         p0 = sg(o + d * t_safe[:, None])
         if scene.num_real_triangles != 0:
             if row is not None:
                 face_n = jnp.cross(row[:, 3:6], row[:, 6:9])
             else:
                 face_n = jnp.cross(scene.tri_e1[prim], scene.tri_e2[prim])
+            plane_n = sg(face_n)
+            dn = _dot(d, plane_n)
+            ok_plane = jnp.abs(dn) > 1e-12 * sg(
+                jnp.abs(_dot(p0 - o, plane_n)) + 1.0)
+            t_plane = _dot(p0 - o, plane_n) / jnp.where(ok_plane, dn, 1.0)
+            t_tri = jnp.where(ok_plane & jnp.isfinite(hit.t), t_plane, t_safe)
         else:
-            face_n = None
+            t_tri = None
         if scene.num_real_spheres != 0:
-            sph_plane_n = p0 - scene.sph_center[sph_i]
+            center = scene.sph_center[sph_i]
+            radius = scene.sph_radius[sph_i]
+            oc = o - center
+            aq = _dot(d, d)
+            bq = _dot(oc, d)  # half-b form of the quadratic
+            cq = _dot(oc, oc) - radius * radius
+            disc = bq * bq - aq * cq
+            ok_sph = disc > 0.0
+            sq = jnp.sqrt(jnp.where(ok_sph, disc, 1.0))
+            root = (-bq + jnp.where(hit.backface, sq, -sq)) / aq
+            t_quad = jnp.where(ok_sph & jnp.isfinite(hit.t), root, t_safe)
+            t_sph = t_safe + (t_quad - sg(t_quad))  # straight-through
         else:
-            sph_plane_n = None
-        if face_n is None:
-            plane_n = sph_plane_n
-        elif sph_plane_n is None:
-            plane_n = face_n
+            t_sph = None
+        if t_tri is None:
+            t_rep = t_sph
+        elif t_sph is None:
+            t_rep = t_tri
         else:
-            plane_n = jnp.where(is_tri[:, None], face_n, sph_plane_n)
-        plane_n = sg(plane_n)
-        dn = _dot(d, plane_n)
-        ok_plane = jnp.abs(dn) > 1e-12 * sg(jnp.abs(_dot(p0 - o, plane_n)) + 1.0)
-        t_plane = _dot(p0 - o, plane_n) / jnp.where(ok_plane, dn, 1.0)
-        t_rep = jnp.where(ok_plane & jnp.isfinite(hit.t), t_plane, t_safe)
+            t_rep = jnp.where(is_tri, t_tri, t_sph)
         pos = o + d * t_rep[:, None]
     model, uv, simple = _hit_model_uv(scene, hit, row=row)
 

@@ -53,3 +53,57 @@ def local_pixel_slice(n_pix: int):
     start = pid * per
     stop = n_pix if pid == n_proc - 1 else start + per
     return start, stop
+
+
+def render_multihost(scene, profile, mesh=None):
+    """Public multi-process render: every participating process calls this
+    (after ``initialize()``) with the same scene + profile and receives the
+    FULL [H,W,3] uint8 image. Pixel lanes shard over the global mesh, the
+    scene replicates, and the only cross-host traffic is the final
+    all_gather of radiance sums (ICI within a slice, DCN across).
+
+    The image is bit-identical to a single-process ``render()`` of the same
+    scene/profile: the counter RNG keys off (pixel, sample), so radiance is
+    shard-layout-invariant, and per-pixel sample sums accumulate in the same
+    ascending sample order. Single-process callers fall through to the
+    ordinary renderer.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1 and mesh is None:
+        from path_tracer_tpu.models.renderer import render
+
+        return render(scene, profile)
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from path_tracer_tpu.models.renderer import _finalize, integrator_spec
+    from path_tracer_tpu.parallel.render import render_sharded
+
+    if mesh is None:
+        mesh = global_mesh()
+    width, height = profile.resolution.width, profile.resolution.height
+    n_pix = width * height
+    n_dev = mesh.devices.size
+    n_pad = ((n_pix + n_dev - 1) // n_dev) * n_dev  # device-divisible lanes
+    sharding = NamedSharding(mesh, P(DP_AXIS))
+
+    # Each process contributes its contiguous slice of the padded id array
+    # (padding lanes re-render pixel 0 and are discarded after the gather).
+    start, stop = local_pixel_slice(n_pad)
+    local_ids = np.arange(start, stop, dtype=np.int32)
+    local_ids[local_ids >= n_pix] = 0
+    ids = jax.make_array_from_process_local_data(sharding, local_ids, (n_pad,))
+
+    spec = integrator_spec(profile)
+    acc = render_sharded(scene, mesh, ids, width, height, jnp.int32(1),
+                         profile.samples, spec)
+
+    # Replicate the radiance sums onto every process with one all_gather.
+    gather = jax.jit(jax.shard_map(
+        lambda a: jax.lax.all_gather(a, DP_AXIS, axis=0, tiled=True),
+        mesh=mesh, in_specs=P(DP_AXIS), out_specs=P(), check_vma=False))
+    full = gather(acc)
+    rows = np.asarray(full.addressable_data(0))[:n_pix]
+    return _finalize(rows, profile.samples, profile, width, height)

@@ -31,8 +31,21 @@ PARAM_FIELDS = (
     "point_color",
     "point_pos",
     "dir_color",
+    # Directional-light direction (ref light.rs:33-36): used RAW (the
+    # reference never normalizes it) in eval_direct and the shadow
+    # direction, so its gradient flows through shading exactly.
+    "dir_dir",
     "background",
     "cam_to_world",
+    # Vertical fov in radians (ref camera.rs:6-13): flows through camera
+    # ray generation; exact through the triangle/sphere hit-point
+    # reparameterizations away from silhouettes.
+    "cam_fov",
+    # Sphere geometry (ref model.rs:26-63): first-order-exact via the
+    # differentiable quadratic-root reparameterization in _surface
+    # (straight-through; hit selection stays a detached discrete event).
+    "sph_center",
+    "sph_radius",
     # The full texture atlas [P,3]: the nearest-neighbor fetch is a gather,
     # whose transpose is a scatter-add into the atlas — per-texel gradients
     # for every albedo/emissive/opacity/metalness/roughness/normal texture
@@ -58,7 +71,23 @@ def apply_params(scene, params: dict):
     scene = dataclasses.replace(scene, **params)
     if any(f.startswith("mat_") for f in params):
         scene = rebake_material_rows(scene)
+    if "sph_center" in params or "sph_radius" in params:
+        scene = repack_spheres(scene)
     return scene
+
+
+def repack_spheres(scene):
+    """Refresh the lane-major Pallas sphere table [4, S_pad] from the live
+    sph_center/sph_radius arrays (device-side; mirrors
+    device_scene._pack_spheres — padding columns stay guaranteed misses
+    because the padded rows of sph_center are at 1e30 with radius 0)."""
+    import jax.numpy as jnp
+
+    sp = scene.sph_packed_t
+    ns = scene.sph_center.shape[0]
+    sp = sp.at[0:3, :ns].set(scene.sph_center.T)
+    sp = sp.at[3, :ns].set(scene.sph_radius)
+    return dataclasses.replace(scene, sph_packed_t=sp)
 
 
 def rebake_material_rows(scene):

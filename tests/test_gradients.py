@@ -91,26 +91,43 @@ def test_metalness_grad_matches_fd_direct(scene):
 
 def test_inverse_rendering_recovers_albedo(scene):
     """End-to-end sanity: gradient descent on albedo recovers a perturbed
-    scene's albedo (coarse — few steps, fixed sample)."""
-    spec = IntegratorSpec(bounces=1, alpha_walk_steps=2, shadow_walk_steps=2,
-                          tri_block=256)
+    scene's albedo against an INDEPENDENTLY rendered target (different RNG
+    seed, higher spp) — no inverse crime: the loss floor is MC noise, but
+    the recovered albedo must still approach the truth."""
+    target_spec = IntegratorSpec(bounces=1, alpha_walk_steps=2,
+                                 shadow_walk_steps=2, tri_block=256,
+                                 seed=9999, differentiable=False)
+    fit_spec = IntegratorSpec(bounces=1, alpha_walk_steps=2,
+                              shadow_walk_steps=2, tri_block=256, seed=0)
     target_albedo = scene.mat_albedo_factor
-    target = render_wavefront(scene, IDS, W, H, jnp.int32(1), spec)
 
-    start = jnp.clip(target_albedo * 0.5 + 0.1, 0.0, 1.0)
+    def avg(s, spec, start, n):
+        def body(acc, k):
+            return acc + render_wavefront(s, IDS, W, H, start + k, spec), None
 
-    def loss_fn(albedo):
+        acc, _ = jax.lax.scan(body, jnp.zeros((W * H, 3), jnp.float32),
+                              jnp.arange(n))
+        return acc / n
+
+    target = jax.jit(avg, static_argnums=(1, 3))(
+        scene, target_spec, jnp.int32(1), 8)
+
+    def loss_fn(albedo, start):
         s = dataclasses.replace(scene, mat_albedo_factor=albedo)
-        img = render_wavefront(s, IDS, W, H, jnp.int32(1), spec)
-        return jnp.mean((img - target) ** 2)
+        return jnp.mean((avg(s, fit_spec, start, 2) - target) ** 2)
 
     vg = jax.jit(jax.value_and_grad(loss_fn))
-    albedo = start
-    l0, _ = vg(albedo)
-    for _ in range(60):
-        l, g = vg(albedo)
-        albedo = albedo - 2.0 * g
-    assert float(l) < 0.2 * float(l0), (float(l0), float(l))
+    albedo = jnp.clip(target_albedo * 0.5 + 0.1, 0.0, 1.0)
+    # The WALL albedos (models 0-2) are the identifiable parameters at this
+    # resolution/spp; the mirror sphere's albedo only shows in a few
+    # specular-highlight pixels and cannot converge from 2 spp of signal.
+    err_of = lambda a: float(jnp.abs(a - target_albedo)[:3].max())
+    err0 = err_of(albedo)
+    for i in range(60):
+        _, g = vg(albedo, jnp.int32(1 + 2 * i))  # fresh samples per step
+        albedo = jnp.clip(albedo - 1.0 * g, 0.0, 1.0)
+    err = err_of(albedo)
+    assert err < 0.4 * err0, (err0, err)
 
 
 def test_light_position_grad_matches_fd(scene):
@@ -155,6 +172,104 @@ def test_camera_transform_grad_matches_fd(scene):
             f"cam_to_world{idx}: analytic {grad[idx]} vs FD {fd}"
         checked += 1
     assert checked >= 2
+
+
+def test_dir_light_direction_grad_matches_fd(scene):
+    """dir_dir (ref light.rs:33-36) is used RAW (never normalized) in
+    eval_direct and the shadow direction — continuous through shading.
+    Cornell has no directional light; adding one is a pure array swap
+    (light counts are shape-derived, no rebuild needed)."""
+    s = dataclasses.replace(
+        scene,
+        # Shines in through the open +z face (the box's only unoccluded
+        # aperture); shadow rays leave along +z unblocked.
+        dir_dir=jnp.asarray([[0.15, -0.4, -1.0]], jnp.float32),
+        dir_color=jnp.asarray([[1.4, 1.3, 1.1]], jnp.float32),
+    )
+    _fd_check(s, "dir_dir", bounces=0, eps=2e-3, rtol=5e-2)
+
+
+def test_fov_grad_matches_fd(scene):
+    """cam_fov (ref camera.rs:6-13) scales camera ray directions; exact via
+    the hit-point reparameterizations on interior (non-silhouette) pixels."""
+    value = scene.cam_fov
+    spec = IntegratorSpec(bounces=0, alpha_walk_steps=2, shadow_walk_steps=2,
+                          tri_block=256)
+    # Center pixels: the Cornell back wall, eps-stable under a fov change.
+    wgt = np.zeros((H, W, 3), np.float32)
+    wgt[H // 2 - 2 : H // 2 + 2, W // 2 - 2 : W // 2 + 2] = \
+        (np.arange(48) % 5 + 1).reshape(4, 4, 3)
+    wgt = jnp.asarray(wgt.reshape(-1, 3))
+
+    def loss(v):
+        s = dataclasses.replace(scene, cam_fov=v)
+        rad = render_wavefront(s, IDS, W, H, jnp.int32(1), spec)
+        return jnp.sum(rad * wgt)
+
+    grad = float(jax.grad(loss)(value))
+    eps = 1e-4
+    fd = (float(loss(value + eps)) - float(loss(value - eps))) / (2 * eps)
+    assert abs(grad) > 1e-3
+    assert fd == pytest.approx(grad, rel=5e-2), (grad, fd)
+
+
+def _sphere_interior_fd(scene, field, eps, rtol):
+    """FD-check ``field`` on pixels whose primary hit is the center sphere
+    of the sphere grid (interior: eps-stable, no silhouette crossing)."""
+    value = getattr(scene, field)
+    spec = IntegratorSpec(bounces=0, alpha_walk_steps=2, shadow_walk_steps=2,
+                          tri_block=256)
+    wgt = np.zeros((H, W, 3), np.float32)
+    wgt[H // 2 - 1 : H // 2 + 1, W // 2 - 1 : W // 2 + 1] = \
+        (np.arange(12) % 5 + 1).reshape(2, 2, 3)
+    wgt = jnp.asarray(wgt.reshape(-1, 3))
+
+    def loss(v):
+        from path_tracer_tpu.parallel.train import apply_params
+
+        s = apply_params(scene, {field: v})
+        rad = render_wavefront(s, IDS, W, H, jnp.int32(1), spec)
+        return jnp.sum(rad * wgt)
+
+    grad = np.asarray(jax.grad(loss)(value), np.float64)
+    order = np.argsort(np.abs(grad).ravel())[::-1][:3]
+    checked = 0
+    for lin in order:
+        idx = np.unravel_index(lin, grad.shape)
+        if abs(grad[idx]) < 1e-3:
+            continue
+        basis = jnp.zeros_like(value).at[idx].set(1.0)
+        fd = (float(loss(value + eps * basis))
+              - float(loss(value - eps * basis))) / (2 * eps)
+        assert fd == pytest.approx(grad[idx], rel=rtol), \
+            f"{field}{idx}: analytic {grad[idx]} vs FD {fd}"
+        checked += 1
+    assert checked >= 1, f"no significant gradient coords for {field}"
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    from path_tracer_tpu.scene.procedural import sphere_grid_device_scene
+
+    return sphere_grid_device_scene(3)
+
+
+def test_sphere_center_grad_matches_fd(sphere_scene):
+    """Sphere center moves the hit point + normal; the straight-through
+    quadratic-root reparameterization (integrator._surface) makes the
+    gradient first-order exact on interior pixels."""
+    _sphere_interior_fd(sphere_scene, "sph_center", eps=1e-3, rtol=5e-2)
+
+
+def test_sphere_radius_grad_matches_fd(sphere_scene):
+    _sphere_interior_fd(sphere_scene, "sph_radius", eps=1e-3, rtol=5e-2)
+
+
+def test_new_param_fields_registered():
+    from path_tracer_tpu.parallel.train import PARAM_FIELDS
+
+    for f in ("dir_dir", "cam_fov", "sph_center", "sph_radius"):
+        assert f in PARAM_FIELDS
 
 
 def test_texture_texel_grad_matches_fd(reference_scenes):

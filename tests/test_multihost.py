@@ -82,3 +82,14 @@ def test_two_process_distributed(tmp_path):
     ids = jnp.arange(16 * 16, dtype=jnp.int32)
     ref = np.asarray(render_wavefront(scene, ids, 16, 16, jnp.int32(1), spec))
     np.testing.assert_array_equal(img, ref)
+
+    # PUBLIC API: render_multihost returned the identical full u8 image on
+    # both processes, bit-equal to a single-process render().
+    np.testing.assert_array_equal(z0["image"], z1["image"])
+    from path_tracer_tpu.config import Profile, Resolution
+    from path_tracer_tpu.models.renderer import render
+
+    profile = Profile(resolution=Resolution(16, 16), bounces=1, samples=2,
+                      alpha_walk_steps=2, shadow_walk_steps=2)
+    single = render(scene, profile)
+    np.testing.assert_array_equal(z0["image"], single)

@@ -60,6 +60,13 @@ def main() -> None:
     local_rows = {str(s.index[0].start): np.asarray(s.data)
                   for s in acc.addressable_shards}
 
+    # PUBLIC multi-host API: every process gets the full u8 image.
+    from path_tracer_tpu.config import Profile, Resolution
+
+    profile = Profile(resolution=Resolution(W, H), bounces=1, samples=2,
+                      alpha_walk_steps=2, shadow_walk_steps=2)
+    image = multihost.render_multihost(scene, profile, mesh=mesh)
+
     # One sharded train step: gradients psum over BOTH processes.
     target = jax.make_array_from_process_local_data(
         sharding, np.zeros((stop - start, 3), np.float32), (n_pix, 3))
@@ -67,7 +74,7 @@ def main() -> None:
     params = get_params(scene)
     new_params, loss = step(params, scene, ids, target, jnp.int32(1))
     jax.block_until_ready(loss)
-    np.savez(out_path, loss=np.asarray(loss),
+    np.savez(out_path, loss=np.asarray(loss), image=image,
              albedo_grad_moved=np.asarray(
                  new_params["mat_albedo_factor"]
                  - params["mat_albedo_factor"]),
