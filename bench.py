@@ -36,12 +36,41 @@ WARMUP_SAMPLES = 4
 TIMED_SAMPLES = 16
 
 
+def run_gates() -> None:
+    """On-chip correctness gates before timing (VERDICT r2 item 5): every
+    bench run first proves the COMPILED kernels + TPU renders still match
+    the jnp paths and the independent oracle, so a published rays/s number
+    implies the kernels it timed were correct. Runs each gate in its own
+    subprocess (sequentially — never two TPU processes at once) so the
+    bench process's tunnel stays in the fast pre-readback mode. Gate output
+    goes to stderr; stdout stays a single JSON line. PT_SKIP_GATES=1 skips.
+    """
+    if os.environ.get("PT_SKIP_GATES") == "1":
+        return
+    import subprocess
+    import sys
+
+    here = Path(__file__).parent
+    for tool in ("tests/tools/tpu_kernel_check.py",
+                 "tests/tools/tpu_oracle_check.py"):
+        r = subprocess.run([sys.executable, str(here / tool)],
+                           capture_output=True, text=True, timeout=2400)
+        sys.stderr.write(r.stdout + r.stderr)
+        if r.returncode != 0:
+            print(json.dumps({"metric": "gate_failure", "value": 0,
+                              "unit": "bool", "vs_baseline": 0.0,
+                              "failed_gate": tool}))
+            sys.exit(1)
+
+
 def main() -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/path_tracer_tpu/xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    run_gates()
 
     from path_tracer_tpu.models.integrator import IntegratorSpec
     from path_tracer_tpu.models.renderer import render_pixel_sums

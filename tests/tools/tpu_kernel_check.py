@@ -116,6 +116,39 @@ def main() -> int:
           and np.array_equal(np.asarray(multi[1]), s1),
           f"occ_rate={s0.mean():.2f}")
 
+    # flat2-vs-MT cross-form divergence gate: Baldwin-Weber and
+    # Möller-Trumbore round grazing shared-edge hits to opposite sides of
+    # the u/v boundary at a measured ~2e-5/ray rate on the 991k-tri scene
+    # (PERF.md). This pins the RATE so kernel edits cannot silently widen
+    # it: hit<->miss flips must stay <= 1e-4 of rays and t must agree at
+    # the documented rtol where both forms hit. PT_SKIP_BIG_GATE=1 skips
+    # (the 991k-tri scene build costs ~30 s host-side).
+    if os.environ.get("PT_SKIP_BIG_GATE") != "1":
+        big = showcase_device_scene(grid=704, use_bvh=True)
+        rb = 1 << 17
+        blo = np.asarray(big.tri_v0).min(axis=0)
+        bhi = np.asarray(big.tri_v0).max(axis=0)
+        ob = rng.uniform(blo - 5, bhi + 5, (rb, 3)).astype(np.float32)
+        bd = rng.uniform(blo, bhi, (rb, 3)).astype(np.float32) - ob
+        bd /= np.linalg.norm(bd, axis=-1, keepdims=True)
+        ob, bd = jnp.asarray(ob), jnp.asarray(bd)
+        tpb = jnp.full((rb,), -1.0, jnp.float32)
+        ref2 = closest_hit_triangles_packet(ob, bd, tpb, big)  # MT form
+        got2 = closest_hit_triangles_flat2(ob, bd, tpb, big)   # BW form
+        hit_ref = np.isfinite(np.asarray(ref2.t))
+        hit_got = np.isfinite(np.asarray(got2.t))
+        both = hit_ref & hit_got
+        # A divergence event is a hit<->miss flip OR a both-hit lane whose
+        # t disagrees beyond the documented rounding envelope (a grazing
+        # boundary flip can also swap WHICH prim wins closest — same root
+        # cause, shows up as a large t jump). Shared-edge flips that pick
+        # the NEIGHBOR prim at the same t are NOT divergences.
+        t_far = both & ~np.isclose(np.asarray(got2.t), np.asarray(ref2.t),
+                                   rtol=5e-5, atol=5e-5)
+        rate = float(((hit_ref != hit_got) | t_far).mean())
+        check("flat2-vs-MT divergence rate (991k tris)", rate <= 1e-4,
+              f"divergence_rate={rate:.2e} (gate 1e-4)")
+
     # Brute-force Pallas MT kernel on a small mesh scene.
     from path_tracer_tpu.scene.procedural import cornell_device_scene
 
