@@ -331,6 +331,12 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
         sel = jax.lax.stop_gradient(sel)
         return sel, found, walking & ~found
 
+    from path_tracer_tpu.scene.device_scene import partitioned
+
+    if partitioned(scene):
+        return _alpha_walk_partitioned(scene, o, d, walking, pixel_ids,
+                                       sample_id, bounce, spec, steps, sel0)
+
     def cond(carry):
         k, sel, seen_any, t_prev, active = carry
         return (k < steps) & jnp.any(active)
@@ -375,6 +381,141 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
     return sel, seen_any, first_missed
 
 
+def _hits_transparent_bounds(scene, o, d, t_max):
+    """[R] bool: can the segment o + t d, t in (0, t_max], touch ANY
+    transparent-cluster AABB (scene.tr_prefilter, 32 boxes)? Pure fused
+    elementwise XLA — no gather, no kernel launch — so it costs far less
+    than the per-chunk cast launches it lets the partitioned walks skip
+    (those are launch-overhead bound; PERF.md round 3). Conservative:
+    padding boxes are degenerate far points that never pass."""
+    boxes = scene.tr_prefilter  # [P,6]
+    inv = 1.0 / d  # [R,3]; IEEE inf on zero components
+    tn = jnp.full(o.shape[:1], -jnp.inf, jnp.float32)
+    tf = jnp.full(o.shape[:1], jnp.inf, jnp.float32)
+    hit = jnp.zeros(o.shape[:1], jnp.bool_)
+    # Component-major: [R,P] intermediates only (P=32).
+    t0 = (boxes[None, :, 0:3] - o[:, None, :]) * inv[:, None, :]
+    t1 = (boxes[None, :, 3:6] - o[:, None, :]) * inv[:, None, :]
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    tn = jnp.max(jnp.where(jnp.isnan(lo), -jnp.inf, lo), axis=-1)  # [R,P]
+    tf = jnp.min(jnp.where(jnp.isnan(hi), jnp.inf, hi), axis=-1)
+    ok = (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_max[:, None])
+    hit = jnp.any(ok, axis=-1)
+    return hit
+
+
+def _walk_chunks(r: int) -> int:
+    """Sub-wavefront chunk count for the partitioned transparent walks.
+
+    A while_loop walk pays its body (casts + row/texel gathers over ALL
+    lanes) for the GLOBAL max iteration count; mapping the walk over C
+    chunks pays each chunk only its own max — under Morton pixel order the
+    transparent geometry clusters, so most chunks drain in 0-1 iterations
+    (measured: mean 0.4 / max 4 crossings on the textured showcase; chunk
+    sweep on the 2^18-lane bench wavefront: 5577 ms unchunked -> 2374 ms at
+    2048-lane chunks, PERF.md round 3). Default: 2048-lane chunks.
+    PT_WALK_CHUNKS overrides the chunk COUNT (1 disables)."""
+    import os
+
+    env = os.environ.get("PT_WALK_CHUNKS")
+    c = int(env) if env else max(1, r // 2048)
+    if c <= 1 or r % c != 0 or (r // c) % 256 != 0:
+        return 1
+    return c
+
+
+def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
+                            bounce, spec, steps, sel0):
+    """Opacity-partitioned stochastic alpha walk (device_scene.partitioned):
+
+    1. ONE closest-hit cast against the OPAQUE subset (+ all spheres, which
+       are required opaque) — the walk's terminator: an opaque hit always
+       accepts (op >= 1 short-circuit, ref mod.rs:201).
+    2. A bounded re-cast walk over ONLY the transparent subset, restricted
+       to hits strictly in front of the terminator.
+
+    Visit order and per-visit RNG sites are IDENTICAL to the unpartitioned
+    sorted walk: every transparent hit in front of the terminator is visited
+    at the same index k (the opaque hit, when reached, accepts without
+    consuming its site in both forms). If no hit accepts, the farthest
+    visited hit still shades — which is the opaque hit when one exists,
+    else the farthest transparent hit (ref mod.rs:188-205 fallback).
+    """
+    from path_tracer_tpu.scene.device_scene import opaque_view, transparent_view
+
+    r = o.shape[0]
+    ov = opaque_view(scene)
+    tv = transparent_view(scene)
+    t_neg = jnp.full((r,), -1.0, jnp.float32)
+    hit_op = jax.lax.stop_gradient(
+        closest_hit(o, d, t_neg, ov, block=spec.tri_block,
+                    active=walking if scene.use_bvh else None))
+    t_op = jnp.where(hit_op.valid, hit_op.t, jnp.inf)
+    # Lanes whose segment (up to the opaque terminator) cannot touch any
+    # transparent cluster skip the walk entirely (whole chunks go idle).
+    # NOTE: only the WALK activity is filtered — the original ``walking``
+    # still drives the miss/background bookkeeping below.
+    walk_active = walking & _hits_transparent_bounds(scene, o, d, t_op)
+
+    def run_walk(o, d, pixel_ids, walking, t_op):
+        rc = o.shape[0]
+
+        def cond(carry):
+            k, sel, seen, accepted, t_prev, active = carry
+            return (k < steps) & jnp.any(active)
+
+        def step(carry):
+            k, sel, seen, accepted, t_prev, active = carry
+            hit = closest_hit(o, d, t_prev, tv, block=spec.tri_block,
+                              active=active if scene.use_bvh else None,
+                              include_spheres=False)
+            found = active & hit.valid & (hit.t < t_op)
+            walk_row = _tri_attr(scene, hit)
+            model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
+            op = texturing.sample_opacity(
+                scene, model, uv, simple,
+                rows=None if spec.differentiable else walk_row)
+            stride = rng.site_layout(steps)[3]
+            rnd = rng.uniform(pixel_ids, sample_id,
+                              rng.SITE_ALPHA + k + stride * bounce, spec.seed)
+            accept = (op >= 1.0) | ((op > ALPHA_MIN_OPACITY) & (rnd < op))
+            sel = HitRecord(*[jnp.where(found, h, s)
+                              for h, s in zip(hit, sel)])
+            seen = seen | found
+            accepted = accepted | (found & accept)
+            active = found & ~accept
+            t_prev = jnp.where(active, hit.t, t_prev)
+            return (k + 1, sel, seen, accepted, t_prev, active)
+
+        sel_init = HitRecord(*[x[:rc] for x in sel0])
+        init = (jnp.int32(0), sel_init, jnp.zeros((rc,), jnp.bool_),
+                jnp.zeros((rc,), jnp.bool_),
+                jnp.full((rc,), -1.0, jnp.float32), walking)
+        _, sel, seen, accepted, _, _ = jax.lax.while_loop(cond, step, init)
+        return sel, seen, accepted
+
+    n_chunks = _walk_chunks(r)
+    if n_chunks == 1:
+        sel, seen_tr, accepted = jax.lax.stop_gradient(
+            run_walk(o, d, pixel_ids, walk_active, t_op))
+    else:
+        ch = lambda x: x.reshape(n_chunks, r // n_chunks, *x.shape[1:])
+        sel, seen_tr, accepted = jax.lax.stop_gradient(jax.lax.map(
+            lambda args: run_walk(*args),
+            (ch(o), ch(d), ch(pixel_ids), ch(walk_active), ch(t_op))))
+        sel = HitRecord(*[x.reshape(r, *x.shape[2:]) for x in sel])
+        seen_tr = seen_tr.reshape(r)
+        accepted = accepted.reshape(r)
+
+    op_found = walking & hit_op.valid
+    use_op = op_found & ~accepted
+    sel = HitRecord(*[jnp.where(use_op, h, s) for h, s in zip(hit_op, sel)])
+    seen_any = seen_tr | op_found
+    first_missed = walking & ~seen_any
+    return jax.lax.stop_gradient(sel), seen_any, first_missed
+
+
 def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
                         point_dist=None, surf_pos=None, orig_model_uv=None,
                         blocked=None):
@@ -400,47 +541,200 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
                                active=active if scene.use_bvh else None)
         return jnp.where(blocked[:, None], 0.0, att0)
 
+    # OPACITY PARTITION (device_scene.partitioned): the reference's occluder
+    # walk multiplies (1-op) over occluders in distance order and breaks at
+    # att == 0 (mod.rs:283-331). Any opaque occluder (within range) zeroes
+    # the product regardless of order, so the walk splits into a BINARY
+    # any-hit against the opaque subset + spheres (batched across lights by
+    # the caller) and a transmittance walk over only the transparent subset
+    # — value-identical, and the expensive full-scene re-casts disappear.
+    from path_tracer_tpu.scene.device_scene import (
+        partitioned,
+        opaque_view,
+        transparent_view,
+    )
+
+    part = partitioned(scene)
+    if part:
+        if blocked is None:
+            from path_tracer_tpu.ops.intersect import occluded
+
+            blocked = occluded(s_o, s_d, opaque_view(scene),
+                               surf_pos=surf_pos, max_dist=point_dist,
+                               block=spec.tri_block,
+                               active=active if scene.use_bvh else None)
+        cast_scene = transparent_view(scene)
+        include_spheres = False
+        active = active & ~blocked
+        t_pre = (jnp.full(s_o.shape[:1], jnp.inf, jnp.float32)
+                 if point_dist is None else point_dist * 1.0001 + 1e-3)
+        active = active & _hits_transparent_bounds(scene, s_o, s_d, t_pre)
+    else:
+        cast_scene = scene
+        include_spheres = True
+
     # The walk carries a scalar transmittance (opacity is channel-uniform);
     # the light color multiplies OUTSIDE the loop so its gradient flows
     # around the (reverse-mode-undifferentiable, detached) while_loop.
     # Early-out parity with the reference's `att == 0` break (mod.rs:297):
     # att0 != 0 lanes with transmittance 0 stop walking.
     color_nonzero = jnp.sum(jnp.abs(att0), axis=-1) != 0.0
+    r = s_o.shape[0]
 
-    def cond(carry):
-        k, trans, t_prev, walking = carry
-        return (k < steps) & jnp.any(walking)
+    def run_walk(s_o, s_d, walking0, point_dist, surf_pos, orig_uv,
+                 orig_simple):
+        rc = s_o.shape[0]
 
-    def step(carry):
-        k, trans, t_prev, walking = carry
-        hit = closest_hit(s_o, s_d, t_prev, scene, block=spec.tri_block,
-                          active=walking if scene.use_bvh else None)
-        found = walking & hit.valid
-        walk_row = _tri_attr(scene, hit)
-        model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
-        if point_dist is not None:
-            # Behind-the-light cutoff measured from the ORIGINAL surface point.
+        def cond(carry):
+            k, trans, t_prev, walking = carry
+            return (k < steps) & jnp.any(walking)
+
+        def step(carry):
+            k, trans, t_prev, walking = carry
+            hit = closest_hit(s_o, s_d, t_prev, cast_scene,
+                              block=spec.tri_block,
+                              active=walking if scene.use_bvh else None,
+                              include_spheres=include_spheres)
+            found = walking & hit.valid
+            walk_row = _tri_attr(scene, hit)
+            model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
+            if point_dist is not None:
+                # Behind-the-light cutoff measured from the ORIGINAL surface.
+                occ_pos = s_o + s_d * jnp.where(
+                    jnp.isfinite(hit.t), hit.t, 0.0)[:, None]
+                occ_dist = jnp.linalg.norm(occ_pos - surf_pos, axis=-1)
+                behind = occ_dist > point_dist
+                found = found & ~behind
+                uv, simple = orig_uv, orig_simple  # original hit's UV/type
+            op = texturing.sample_opacity(
+                scene, model, uv, simple,
+                rows=None if spec.differentiable else walk_row)
+            trans = jnp.where(found, trans * (1.0 - op), trans)
+            walking = found & (trans != 0.0)
+            t_prev = jnp.where(walking, hit.t, t_prev)
+            return (k + 1, trans, t_prev, walking)
+
+        init = (jnp.int32(0), jnp.ones((rc,), jnp.float32),
+                jnp.full((rc,), -1.0, jnp.float32), walking0)
+        _, trans, _, _ = jax.lax.while_loop(cond, step, init)
+        return trans
+
+    walking0 = active & color_nonzero
+    n_chunks = _walk_chunks(r) if part else 1
+    if n_chunks == 1:
+        trans = jax.lax.stop_gradient(run_walk(
+            s_o, s_d, walking0, point_dist, surf_pos,
+            None if orig_model_uv is None else orig_model_uv[0],
+            None if orig_model_uv is None else orig_model_uv[1]))
+    else:
+        ch = lambda x: x.reshape(n_chunks, r // n_chunks, *x.shape[1:])
+        if point_dist is None:
+            args = (ch(s_o), ch(s_d), ch(walking0))
+            fn = lambda a: run_walk(*a, None, None, None, None)
+        else:
+            args = (ch(s_o), ch(s_d), ch(walking0), ch(point_dist),
+                    ch(surf_pos), ch(orig_model_uv[0]), ch(orig_model_uv[1]))
+            fn = lambda a: run_walk(*a)
+        trans = jax.lax.stop_gradient(jax.lax.map(fn, args)).reshape(r)
+    att = att0 * trans[:, None]
+    if part:
+        att = jnp.where(blocked[:, None], 0.0, att)
+    return att
+
+
+def _shadow_attenuation_multi(scene, s_o, dirs, actives, colors, spec, steps,
+                              point_dists, surf_pos, orig_model_uv, blockeds):
+    """All L lights' partitioned shadow attenuations in ONE stacked walk.
+
+    The opaque any-hit half is already batched (occluded_multi); this stacks
+    the TRANSPARENT transmittance walks too: lanes for all L lights
+    concatenate into one [L*R] wavefront, so the chunked while_loop and its
+    per-iteration cast + gathers launch once instead of L times (the
+    transparent casts are launch-overhead-bound: 0.32 ms per 2048-lane
+    chunk, PERF.md round 3). Per-lane semantics identical to
+    _shadow_attenuation: directional lanes sample the occluder's OWN uv and
+    have no behind-light cutoff (point_dist = +inf); point lanes use the
+    ORIGINAL hit's UV/type (ref mod.rs:324 quirk) and the behind-light
+    cutoff from the original surface point.
+    """
+    from path_tracer_tpu.scene.device_scene import transparent_view
+
+    tv = transparent_view(scene)
+    L = len(dirs)
+    r = s_o.shape[0]
+    att0s = [jnp.where(actives[i][:, None],
+                       jnp.broadcast_to(colors[i], s_o.shape), 0.0)
+             for i in range(L)]
+
+    inf = jnp.full((r,), jnp.inf, jnp.float32)
+    o3 = jnp.concatenate([s_o] * L, axis=0)
+    d3 = jnp.concatenate(dirs, axis=0)
+    pd3 = jnp.concatenate([inf if point_dists[i] is None else point_dists[i]
+                           for i in range(L)], axis=0)
+    is_pt = jnp.concatenate(
+        [jnp.full((r,), point_dists[i] is not None) for i in range(L)])
+    sp3 = jnp.concatenate([surf_pos] * L, axis=0)
+    ouv3 = jnp.concatenate([orig_model_uv[0]] * L, axis=0)
+    osimple3 = jnp.concatenate([orig_model_uv[1]] * L, axis=0)
+    walking0 = jnp.concatenate(
+        [actives[i] & ~blockeds[i]
+         & (jnp.sum(jnp.abs(att0s[i]), axis=-1) != 0.0) for i in range(L)])
+    # Prefilter: shadow segments that miss every transparent cluster have
+    # transmittance exactly 1 (t_max = distance-to-light for point lanes,
+    # +inf for directional; small conservative margin for the shadow bias).
+    walking0 = walking0 & _hits_transparent_bounds(
+        scene, o3, d3, pd3 * 1.0001 + 1e-3)
+
+    def run_walk(s_o, s_d, walking0, pd, is_pt, surf_pos, ouv, osimple):
+        rc = s_o.shape[0]
+
+        def cond(carry):
+            k, trans, t_prev, walking = carry
+            return (k < steps) & jnp.any(walking)
+
+        def step(carry):
+            k, trans, t_prev, walking = carry
+            hit = closest_hit(s_o, s_d, t_prev, tv, block=spec.tri_block,
+                              active=walking if scene.use_bvh else None,
+                              include_spheres=False)
+            found = walking & hit.valid
+            walk_row = _tri_attr(scene, hit)
+            model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
             occ_pos = s_o + s_d * jnp.where(
                 jnp.isfinite(hit.t), hit.t, 0.0)[:, None]
             occ_dist = jnp.linalg.norm(occ_pos - surf_pos, axis=-1)
-            behind = occ_dist > point_dist
-            found = found & ~behind
-            uv, simple = orig_model_uv  # original hit's UV and hit-type
-        op = texturing.sample_opacity(
-            scene, model, uv, simple,
-            rows=None if spec.differentiable else walk_row)
-        trans = jnp.where(found, trans * (1.0 - op), trans)
-        walking = found & (trans != 0.0)
-        t_prev = jnp.where(walking, hit.t, t_prev)
-        return (k + 1, trans, t_prev, walking)
+            found = found & ~(is_pt & (occ_dist > pd))
+            uv = jnp.where(is_pt[:, None], ouv, uv)
+            simple = jnp.where(is_pt, osimple, simple)
+            op = texturing.sample_opacity(
+                scene, model, uv, simple,
+                rows=None if spec.differentiable else walk_row)
+            trans = jnp.where(found, trans * (1.0 - op), trans)
+            walking = found & (trans != 0.0)
+            t_prev = jnp.where(walking, hit.t, t_prev)
+            return (k + 1, trans, t_prev, walking)
 
-    r = s_o.shape[0]
-    init = (jnp.int32(0), jnp.ones((r,), jnp.float32),
-            jnp.full((r,), -1.0, jnp.float32), active & color_nonzero)
-    _, trans, _, _ = jax.lax.stop_gradient(
-        jax.lax.while_loop(cond, step, init)
-    )
-    return att0 * trans[:, None]
+        init = (jnp.int32(0), jnp.ones((rc,), jnp.float32),
+                jnp.full((rc,), -1.0, jnp.float32), walking0)
+        _, trans, _, _ = jax.lax.while_loop(cond, step, init)
+        return trans
+
+    n = L * r
+    n_chunks = _walk_chunks(n)
+    args = (o3, d3, walking0, pd3, is_pt, sp3, ouv3, osimple3)
+    if n_chunks == 1:
+        trans3 = jax.lax.stop_gradient(run_walk(*args))
+    else:
+        ch = lambda x: x.reshape(n_chunks, n // n_chunks, *x.shape[1:])
+        trans3 = jax.lax.stop_gradient(jax.lax.map(
+            lambda a: run_walk(*a), tuple(ch(x) for x in args))).reshape(n)
+
+    outs = []
+    for i in range(L):
+        trans = trans3[i * r : (i + 1) * r]
+        att = att0s[i] * trans[:, None]
+        outs.append(jnp.where(blockeds[i][:, None], 0.0, att))
+    return outs
 
 
 def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
@@ -555,10 +849,18 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
 
         # Fully opaque scenes: ALL lights' shadow casts in ONE any-hit
         # launch (ops.intersect.occluded_multi batches the triangle walk;
-        # per-tile fixed costs are paid once, not per light).
+        # per-tile fixed costs are paid once, not per light). Partitioned
+        # mixed-opacity scenes batch the same way against the OPAQUE subset
+        # (the binary half of the partitioned attenuation walk).
+        from path_tracer_tpu.scene.device_scene import (
+            opaque_view,
+            partitioned,
+        )
+
         blocked_all = None
         n_lights = scene.num_dir_lights + scene.num_point_lights
-        if scene.all_opaque and n_lights > 1:
+        part = partitioned(scene)
+        if (scene.all_opaque or part) and n_lights > 1:
             from path_tracer_tpu.ops.intersect import occluded_multi
 
             dirs_all, dists_all, act_all = [], [], []
@@ -572,18 +874,35 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
                 dists_all.append(pt_dists[li])
                 act_all.append(shadow_active(-pt_dirs[li]))
             blocked_all = occluded_multi(
-                shadow_o, dirs_all, scene, surf_pos=surf.pos,
-                max_dists=dists_all, actives=act_all, block=spec.tri_block)
+                shadow_o, dirs_all, opaque_view(scene) if part else scene,
+                surf_pos=surf.pos, max_dists=dists_all, actives=act_all,
+                block=spec.tri_block)
+
+        # Partitioned mixed-opacity scenes additionally run ALL lights'
+        # transparent transmittance walks as ONE stacked chunked walk
+        # (launch-overhead-bound otherwise; _shadow_attenuation_multi).
+        att_pre = None
+        if part and blocked_all is not None and not scene.all_opaque:
+            colors_all = ([scene.dir_color[li]
+                           for li in range(scene.num_dir_lights)]
+                          + [1.0] * scene.num_point_lights)
+            att_pre = _shadow_attenuation_multi(
+                scene, shadow_o, dirs_all, act_all, colors_all, spec,
+                shadow_steps, dists_all, surf.pos, (surf.uv, surf.simple),
+                blocked_all)
 
         # Directional lights (mod.rs:283-299): static python loop.
         for li in range(scene.num_dir_lights):
             ldir = scene.dir_dir[li]  # raw, possibly unnormalized — as in ref
-            radiance = _shadow_attenuation(
-                scene, shadow_o, jnp.broadcast_to(-ldir, d.shape),
-                shadow_active(jnp.broadcast_to(-ldir, d.shape)),
-                scene.dir_color[li], spec, shadow_steps,
-                blocked=None if blocked_all is None else blocked_all[li],
-            )
+            if att_pre is not None:
+                radiance = att_pre[li]
+            else:
+                radiance = _shadow_attenuation(
+                    scene, shadow_o, jnp.broadcast_to(-ldir, d.shape),
+                    shadow_active(jnp.broadcast_to(-ldir, d.shape)),
+                    scene.dir_color[li], spec, shadow_steps,
+                    blocked=None if blocked_all is None else blocked_all[li],
+                )
             lit = alive & (jnp.sum(radiance, axis=-1) != 0.0)  # skip zero lights
             ev = brdf.eval_direct(mat, f0, surf.normal, view,
                                   jnp.broadcast_to(-ldir, d.shape))
@@ -595,14 +914,17 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
             dist = pt_dists[li]
             ldir = pt_dirs[li]  # light → surface
             dissipated = scene.point_color[li] / (4.0 * PI * dist * dist)[:, None]
-            radiance = _shadow_attenuation(
-                scene, shadow_o, -ldir, shadow_active(-ldir), 1.0, spec,
-                shadow_steps,
-                point_dist=dist, surf_pos=surf.pos,
-                orig_model_uv=(surf.uv, surf.simple),
-                blocked=None if blocked_all is None
-                else blocked_all[scene.num_dir_lights + li],
-            ) * dissipated
+            if att_pre is not None:
+                radiance = att_pre[scene.num_dir_lights + li] * dissipated
+            else:
+                radiance = _shadow_attenuation(
+                    scene, shadow_o, -ldir, shadow_active(-ldir), 1.0, spec,
+                    shadow_steps,
+                    point_dist=dist, surf_pos=surf.pos,
+                    orig_model_uv=(surf.uv, surf.simple),
+                    blocked=None if blocked_all is None
+                    else blocked_all[scene.num_dir_lights + li],
+                ) * dissipated
             lit = alive & (jnp.sum(radiance, axis=-1) != 0.0)
             ev = brdf.eval_direct(mat, f0, surf.normal, view, -ldir)
             color = jnp.where(lit[:, None], color + throughput * ev * radiance,

@@ -510,15 +510,17 @@ def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
 
 
 def closest_hit(o, d, t_prev, scene, block: int = 512,
-                active=None) -> HitRecord:
+                active=None, include_spheres: bool = True) -> HitRecord:
     """Closest hit among all primitives with t > t_prev (pass t_prev=-1.0 for
     a fresh cast: triangles still enforce t > 1e-6; spheres allow t >= 0,
     matching the reference's per-type cutoffs). Primitive classes the scene
     does not contain are skipped statically (num_real_* == 0). ``active``
-    masks dead lanes out of the (packet-kernel) work."""
+    masks dead lanes out of the (packet-kernel) work. ``include_spheres=
+    False`` restricts the cast to triangles (the opacity partition's
+    transparent-subset walks: all spheres live in the opaque cast)."""
     r = o.shape[0]
     has_tris = scene.num_real_triangles != 0
-    has_sphs = scene.num_real_spheres != 0
+    has_sphs = include_spheres and scene.num_real_spheres != 0
     if active is not None:
         # Dead lanes can never satisfy t > +inf in any primitive test.
         t_prev = jnp.where(active, t_prev, jnp.inf)

@@ -25,16 +25,17 @@ def _children(skip: np.ndarray, prim_count: np.ndarray, i: int):
 
 def build_directional_layouts(node_min: np.ndarray, node_max: np.ndarray,
                               prim_count: np.ndarray, skip: np.ndarray,
-                              leaf_value: np.ndarray):
+                              leaf_value: np.ndarray, pad: bool = True):
     """Returns (bounds6 [6,8,Npad] f32, meta6 [6,2,Npad] i32).
 
     leaf_value: per-node int (0 = internal, else payload, e.g. block_id+1)
     carried into each layout's meta. Layout index = axis*2 + (1 if the ray
-    direction along `axis` is negative else 0).
+    direction along `axis` is negative else 0). ``pad=False`` returns the
+    exact-N form (for forest concatenation).
     """
     n = int(skip.shape[0])
     center = (node_min + node_max) * 0.5
-    n_pad = ((n + 127) // 128) * 128
+    n_pad = ((n + 127) // 128) * 128 if pad else n
 
     bounds6 = np.zeros((6, 8, n_pad), np.float32)
     meta6 = np.zeros((6, 2, n_pad), np.int32)
@@ -74,4 +75,30 @@ def build_directional_layouts(node_min: np.ndarray, node_max: np.ndarray,
                 meta6[li, 0, pos] = pos + sizes[old]  # escape index
                 meta6[li, 1, pos] = leaf_value[old]
 
+    return bounds6, meta6
+
+
+def build_directional_layouts_forest(trees):
+    """Directional layouts of a multi-root skip-pointer FOREST.
+
+    trees: list of (node_min, node_max, prim_count, skip, leaf_value)
+    tuples, one per independent tree. Each tree's six layouts are built
+    standalone and concatenated along the node axis; escape indices of tree
+    j are offset by the total node count before it, so a walk exits tree j
+    straight into tree j+1's root and terminates at the summed real node
+    count (the same invariant the single-tree form has). Used by the
+    opacity partition: tree 0 = opaque blocks, tree 1 = transparent blocks.
+    """
+    parts = [build_directional_layouts(*t, pad=False) for t in trees]
+    sizes = [p[0].shape[2] for p in parts]
+    total = sum(sizes)
+    n_pad = ((total + 127) // 128) * 128
+    bounds6 = np.zeros((6, 8, n_pad), np.float32)
+    meta6 = np.zeros((6, 2, n_pad), np.int32)
+    off = 0
+    for (b6, m6), n in zip(parts, sizes):
+        bounds6[:, :, off : off + n] = b6
+        meta6[:, 1, off : off + n] = m6[:, 1]
+        meta6[:, 0, off : off + n] = m6[:, 0] + off  # escape indices global
+        off += n
     return bounds6, meta6

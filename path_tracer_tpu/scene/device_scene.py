@@ -27,6 +27,7 @@ executable serves the whole render.
 from __future__ import annotations
 
 import dataclasses
+import os
 from pathlib import Path
 from typing import Optional
 
@@ -47,8 +48,14 @@ def _pad_to(n: int, m: int) -> int:
 # triangle slot plus one row per sphere). Columns 0-28 are geometry/ids;
 # 29+ bake the row's MATERIAL (factors + texture ids) so the forward render
 # needs a single gather per bounce. Texture ids are stored as float (small
-# ints, exact in f32).
-ATTR_W = 48
+# ints, exact in f32). Columns 45+ additionally bake each channel's texture
+# ATLAS GEOMETRY (offset, width, height): a texel fetch then needs only the
+# row gather + ONE atlas gather instead of three extra tiny-table gathers
+# per channel — measured at ~40% of the textured-scene bounce budget inside
+# the alpha/shadow walks (PERF.md round 3). Offsets are exact in f32 up to
+# 2^24 atlas texels; bigger atlases clear attr_tex_baked and fall back to
+# the table gathers.
+ATTR_W = 64
 ATTR_ALBEDO_F = 29      # 29:32  albedo factor rgb
 ATTR_EMISSIVE_F = 32    # 32:35  emissive factor rgb
 ATTR_OPACITY_F = 35
@@ -61,10 +68,23 @@ ATTR_OPACITY_T = 41
 ATTR_METAL_T = 42
 ATTR_ROUGH_T = 43
 ATTR_NORMAL_T = 44
+# Per-channel (offset, width, height) triples; +0 = atlas row offset,
+# +1 = width, +2 = height. Texture-free channels bake (0, 1, 1).
+ATTR_ALBEDO_G = 45
+ATTR_EMISSIVE_G = 48
+ATTR_OPACITY_G = 51
+ATTR_METAL_G = 54
+ATTR_ROUGH_G = 57
+ATTR_NORMAL_G = 60
 
 
-def _bake_material_rows(attr: np.ndarray, model_ids: np.ndarray, mats) -> None:
-    """Fill ATTR_* material columns of ``attr`` from per-model tables."""
+def _bake_material_rows(attr: np.ndarray, model_ids: np.ndarray, mats,
+                        atlas=None) -> None:
+    """Fill ATTR_* material columns of ``attr`` from per-model tables.
+
+    ``atlas``: optional (offsets, widths, heights) arrays indexed by texture
+    id — bakes each channel's atlas geometry into its ATTR_*_G triple
+    (texture-free channels get (0, 1, 1): offset 0 is the dummy texel)."""
     af = np.asarray(mats["albedo_f"], np.float32).reshape(-1, 3)
     ef = np.asarray(mats["emissive_f"], np.float32).reshape(-1, 3)
     attr[:, ATTR_ALBEDO_F:ATTR_ALBEDO_F + 3] = af[model_ids]
@@ -73,10 +93,22 @@ def _bake_material_rows(attr: np.ndarray, model_ids: np.ndarray, mats) -> None:
     attr[:, ATTR_METAL_F] = np.asarray(mats["metal_f"], np.float32)[model_ids]
     attr[:, ATTR_ROUGH_F] = np.asarray(mats["rough_f"], np.float32)[model_ids]
     attr[:, ATTR_IOR] = np.asarray(mats["ior"], np.float32)[model_ids]
-    for col, key in ((ATTR_ALBEDO_T, "albedo_t"), (ATTR_EMISSIVE_T, "emissive_t"),
-                     (ATTR_OPACITY_T, "opacity_t"), (ATTR_METAL_T, "metal_t"),
-                     (ATTR_ROUGH_T, "rough_t"), (ATTR_NORMAL_T, "normal_t")):
-        attr[:, col] = np.asarray(mats[key], np.float32)[model_ids]
+    channels = ((ATTR_ALBEDO_T, ATTR_ALBEDO_G, "albedo_t"),
+                (ATTR_EMISSIVE_T, ATTR_EMISSIVE_G, "emissive_t"),
+                (ATTR_OPACITY_T, ATTR_OPACITY_G, "opacity_t"),
+                (ATTR_METAL_T, ATTR_METAL_G, "metal_t"),
+                (ATTR_ROUGH_T, ATTR_ROUGH_G, "rough_t"),
+                (ATTR_NORMAL_T, ATTR_NORMAL_G, "normal_t"))
+    for tcol, gcol, key in channels:
+        tids = np.asarray(mats[key], np.int32)[model_ids]
+        attr[:, tcol] = tids.astype(np.float32)
+        if atlas is not None:
+            offs, ws, hs = atlas
+            safe = np.maximum(tids, 0)
+            has = tids >= 0
+            attr[:, gcol] = np.where(has, np.asarray(offs)[safe], 0)
+            attr[:, gcol + 1] = np.where(has, np.asarray(ws)[safe], 1)
+            attr[:, gcol + 2] = np.where(has, np.asarray(hs)[safe], 1)
 
 
 def _baldwin_weber_rows(sl_tris: np.ndarray) -> np.ndarray:
@@ -184,6 +216,11 @@ class DeviceScene:
     # Same node metadata as int32 rows [N,2] = (skip, first*256|count) for
     # the Pallas packet kernel (scalar bitcast does not lower in Mosaic).
     bvh_nodes_i: jax.Array  # [N,2] i32
+    # Standalone tree over ONLY the possibly-transparent triangles (prim ids
+    # global), for transparent-subset walks; bvh_nodes is the [opaque tree |
+    # transparent tree] skip-pointer forest of which [0, bvh_n_nodes_opaque)
+    # is the opaque-only walk (see opaque_view/transparent_view).
+    bvh_nodes_tr: jax.Array  # [N2,8] f32
     bvh_tris: jax.Array  # [M,9] f32
     # Component-major triangle table [9, n_pad] = rows (v0,e1,e2) xyz for the
     # Pallas brute-force kernel (rays ride lanes, triangles stream chunks).
@@ -245,6 +282,9 @@ class DeviceScene:
     # 128-lane multiple with guaranteed-miss spheres, for the fused Pallas
     # sphere kernel (ops/pallas_spheres.py).
     sph_packed_t: jax.Array  # [4, S_pad] f32
+    # [32,6] transparent-cluster prefilter AABBs (mn.xyz, mx.xyz); see the
+    # build comment — pads are degenerate far points.
+    tr_prefilter: jax.Array
 
     # --- static (non-traced) scene facts; part of the jit key -------------
     # True when every material is fully opaque (opacity factor >= 1, no
@@ -307,6 +347,35 @@ class DeviceScene:
     sl_block: int = dataclasses.field(metadata=dict(static=True), default=512)
     sl_n_blocks: int = dataclasses.field(metadata=dict(static=True), default=0)
     use_bvh: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # --- Opacity-partition statics (see the partition comment in
+    # build_device_scene): triangles are stored [opaque.. | transparent..],
+    # superleaf blocks/columns and the leaf-4 node forest likewise. ---
+    n_tris_opaque: int = dataclasses.field(metadata=dict(static=True), default=0)
+    sl_n_blocks_opaque: int = dataclasses.field(
+        metadata=dict(static=True), default=0)
+    # 128-aligned column offset where transparent block columns start in
+    # sl_blkflat/sl_blkid (= padded opaque column count).
+    sl_cols_opaque: int = dataclasses.field(
+        metadata=dict(static=True), default=0)
+    bvh_n_nodes_opaque: int = dataclasses.field(
+        metadata=dict(static=True), default=0)
+    bvh_n_nodes_tr: int = dataclasses.field(
+        metadata=dict(static=True), default=1)
+    # True when every SPHERE is opaque (the partitioned fast path folds all
+    # spheres into the opaque cast; a transparent sphere forces the generic
+    # walk).
+    sph_all_opaque: bool = dataclasses.field(
+        metadata=dict(static=True), default=True)
+    # True when the ATTR_*_G atlas-geometry columns are valid (atlas small
+    # enough for exact f32 offsets) — the rows-based texel fetch then skips
+    # the tex_offset/width/height table gathers.
+    attr_tex_baked: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
+    # Per-channel "any model has this texture" flags, ordered (albedo,
+    # emissive, opacity, metalness, roughness, normal). A False statically
+    # removes that channel's atlas gather from sampling.
+    has_tex: tuple = dataclasses.field(
+        metadata=dict(static=True), default=(False,) * 6)
 
     @property
     def num_triangles(self) -> int:
@@ -379,20 +448,50 @@ def build_device_scene(scene: isf.Scene, root,
 
     tri_rows = {k: [] for k in ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2")}
     tri_model = []
+    tri_transparent = []  # per-tri: model material can be non-opaque
     sph_center, sph_radius, sph_model = [], [], []
+    sph_all_opaque = True
     mats = {
         "albedo_f": [], "emissive_f": [], "opacity_f": [], "metal_f": [],
         "rough_f": [], "ior": [], "albedo_t": [], "emissive_t": [],
         "opacity_t": [], "metal_t": [], "rough_t": [], "normal_t": [],
     }
 
+    def _certainly_opaque_tris(model, m) -> list:
+        """Per-triangle refinement of a transparent-material mesh: a
+        triangle whose opacity-texture footprint GUARANTEES op >= 1 behaves
+        exactly like opaque geometry (the alpha walk's accept test
+        short-circuits at op >= 1 without drawing a random number,
+        ref mod.rs:201, and shadow transmittance hits exact 0) — so it can
+        live in the OPAQUE partition, shrinking the transparent walk set to
+        the texels that actually need stochastic handling (alpha-cutout
+        rims). Conservative: min texel over the wrapped UV-bbox (superset
+        of the triangle's footprint), expanded one texel each way."""
+        if m.opacity.factor < 1.0 or m.opacity.texture is None:
+            return [False] * len(model.triangles)
+        gray = load_texture_gray(root / m.opacity.texture)  # [H,W] in [0,1]
+        th, tw = gray.shape
+        out = []
+        for tri in model.triangles:
+            us = [v.tex_coords[0] for v in tri]
+            vs = [v.tex_coords[1] for v in tri]
+            x0 = int(np.floor(min(us) * tw)) - 1
+            x1 = int(np.floor(max(us) * tw)) + 1
+            y0 = int(np.floor(min(vs) * th)) - 1
+            y1 = int(np.floor(max(vs) * th)) + 1
+            xs = (np.arange(x0, min(x1, x0 + tw) + 1)) % tw
+            ys = (np.arange(y0, min(y1, y0 + th) + 1)) % th
+            mn = float(gray[np.ix_(ys, xs)].min())
+            out.append(mn * m.opacity.factor >= 1.0)
+        return out
+
     n_transparent_hits = 0
     for model_id, model in enumerate(scene.models):
         m = model.material
-        if m.opacity.factor < 1.0 or m.opacity.texture is not None:
-            # A ray line crosses each triangle once, a sphere up to twice.
-            n_transparent_hits += (len(model.triangles)
-                                   if isinstance(model, isf.Mesh) else 2)
+        transparent = m.opacity.factor < 1.0 or m.opacity.texture is not None
+        if transparent and not isinstance(model, isf.Mesh):
+            n_transparent_hits += 2  # near + far sphere root on a re-cast
+            sph_all_opaque = False
         mats["albedo_f"].append(m.albedo.factor)
         mats["emissive_f"].append(m.emissive.factor)
         mats["opacity_f"].append(m.opacity.factor)
@@ -407,7 +506,9 @@ def build_device_scene(scene: isf.Scene, root,
         mats["normal_t"].append(atlas.add(m.normal_texture, "rgb"))
 
         if isinstance(model, isf.Mesh):
-            for v0, v1, v2 in model.triangles:
+            if transparent:
+                certain = _certainly_opaque_tris(model, m)
+            for ti, (v0, v1, v2) in enumerate(model.triangles):
                 tri_rows["v0"].append(v0.position)
                 tri_rows["v1"].append(v1.position)
                 tri_rows["v2"].append(v2.position)
@@ -418,12 +519,35 @@ def build_device_scene(scene: isf.Scene, root,
                 tri_rows["uv1"].append(v1.tex_coords)
                 tri_rows["uv2"].append(v2.tex_coords)
                 tri_model.append(model_id)
+                is_tr = transparent and not certain[ti]
+                tri_transparent.append(is_tr)
+                n_transparent_hits += int(is_tr)
         else:
             sph_center.append(model.center)
             sph_radius.append(model.radius)
             sph_model.append(model_id)
 
     n_tris = len(tri_model)
+    # OPACITY PARTITION: reorder triangles so every opaque-material triangle
+    # precedes every possibly-transparent one (stable within each class).
+    # The acceleration structures are then built PER PARTITION and
+    # concatenated, so the integrator's alpha/shadow walks can cast against
+    # exactly the subset they need: one opaque terminator/any-hit cast (the
+    # bulk of the scene) + a bounded walk over only the transparent prims.
+    # The reference gets the same effect implicitly from its sorted all-hits
+    # iteration (ref mod.rs:188-205, 283-331); on TPU the partition is what
+    # keeps textured-alpha scenes off the O(walk_steps x full-scene-cast)
+    # path. Statics: n_tris_opaque, sl_n_blocks_opaque, bvh_n_nodes_opaque.
+    tri_transparent = np.asarray(tri_transparent, np.bool_) \
+        if n_tris else np.zeros(0, np.bool_)
+    n_op_tris = int((~tri_transparent).sum())
+    if n_tris and 0 < n_op_tris < n_tris:
+        order = np.concatenate([np.nonzero(~tri_transparent)[0],
+                                np.nonzero(tri_transparent)[0]])
+        for k in tri_rows:
+            rows = tri_rows[k]
+            tri_rows[k] = [rows[i] for i in order]
+        tri_model = [tri_model[i] for i in order]
     n_pad = _pad_to(n_tris, _TRI_PAD)
 
     def _pad3(rows, dim):
@@ -461,7 +585,22 @@ def build_device_scene(scene: isf.Scene, root,
     n2 = _pad3(tri_rows["n2"], 3)
 
     # --- BVH over the real triangles (C++ binned-SAH, native/bvh.cpp) -----
+    # Built PER OPACITY PARTITION and concatenated as a skip-pointer FOREST:
+    # tree 1 (opaque) occupies nodes [0, N1) and its exit skip (N1) falls
+    # through into tree 2 (transparent) at [N1, N1+N2). A full-scene walk
+    # uses the whole forest unchanged; an opaque-only walk is the SAME array
+    # with the termination sentinel bvh_n_nodes set to N1; the standalone
+    # transparent tree (bvh_nodes_tr, prim ids global) serves
+    # transparent-only walks. See opaque_view()/transparent_view().
     from path_tracer_tpu.ops.bvh_traverse import pack_nodes
+
+    def _miss_nodes():
+        return pack_nodes(
+            np.full((1, 3), np.inf, np.float32),
+            np.full((1, 3), -np.inf, np.float32),
+            np.zeros(1, np.int32), np.zeros(1, np.int32),
+            np.ones(1, np.int32),
+        )
 
     leaf_size = 4
     if n_tris:
@@ -472,23 +611,51 @@ def build_device_scene(scene: isf.Scene, root,
         p2 = p0 + e2[:n_tris]
         tri_min = np.minimum(np.minimum(p0, p1), p2)
         tri_max = np.maximum(np.maximum(p0, p1), p2)
-        bvh = build_bvh(tri_min, tri_max, leaf_size=leaf_size)
+
+        def _pack(b, prim_off, skip_off):
+            return pack_nodes(b.node_min, b.node_max,
+                              b.first_prim + prim_off, b.prim_count,
+                              b.skip + skip_off)
+
+        if 0 < n_op_tris < n_tris:
+            b_op = build_bvh(tri_min[:n_op_tris], tri_max[:n_op_tris],
+                             leaf_size=leaf_size)
+            b_tr = build_bvh(tri_min[n_op_tris:], tri_max[n_op_tris:],
+                             leaf_size=leaf_size)
+            perm = np.concatenate([b_op.prim_order,
+                                   n_op_tris + b_tr.prim_order])
+            n_nodes_op = int(b_op.skip.shape[0])
+            bvh_nodes = np.concatenate(
+                [_pack(b_op, 0, 0), _pack(b_tr, n_op_tris, n_nodes_op)],
+                axis=0)
+            bvh_nodes_tr = _pack(b_tr, n_op_tris, 0)
+            bvh_n_nodes_opaque = n_nodes_op
+            bvh_n_nodes_tr = int(b_tr.skip.shape[0])
+        else:
+            bvh = build_bvh(tri_min, tri_max, leaf_size=leaf_size)
+            perm = bvh.prim_order
+            bvh_nodes = _pack(bvh, 0, 0)
+            if n_op_tris == n_tris:  # all opaque
+                bvh_nodes_tr = _miss_nodes()
+                bvh_n_nodes_opaque = int(bvh.skip.shape[0])
+                bvh_n_nodes_tr = 1
+            else:  # all transparent
+                bvh_nodes_tr = bvh_nodes.copy()
+                bvh_n_nodes_opaque = 0
+                bvh_n_nodes_tr = int(bvh.skip.shape[0])
         # Store ALL triangle SoA arrays in BVH-permuted order so prim ids
-        # index them directly (padding rows stay at the tail).
-        perm = bvh.prim_order
+        # index them directly (padding rows stay at the tail; the partition
+        # split point n_op_tris is preserved — each partition's permutation
+        # stays inside its own range).
         for arr in (v0, e1, e2, uv0, uv1, uv2, tangent, n0, n1, n2):
             arr[:n_tris] = arr[:n_tris][perm]
         tri_model_arr[:n_tris] = tri_model_arr[:n_tris][perm]
-        bvh_nodes = pack_nodes(bvh.node_min, bvh.node_max, bvh.first_prim,
-                               bvh.prim_count, bvh.skip)
     else:
         # Single always-miss node so shapes stay valid.
-        bvh_nodes = pack_nodes(
-            np.full((1, 3), np.inf, np.float32),
-            np.full((1, 3), -np.inf, np.float32),
-            np.zeros(1, np.int32), np.zeros(1, np.int32),
-            np.ones(1, np.int32),
-        )
+        bvh_nodes = _miss_nodes()
+        bvh_nodes_tr = _miss_nodes()
+        bvh_n_nodes_opaque = 1
+        bvh_n_nodes_tr = 1
     # Packed (v0,e1,e2) rows. Padding: the packet kernel reads 128-aligned
     # 256-wide lane windows around a leaf's first prim, so pad to a multiple
     # of 128 plus a 256 margin (degenerate rows: det == 0 rejects).
@@ -512,85 +679,149 @@ def build_device_scene(scene: isf.Scene, root,
     assert SL_BLOCK % 128 == 0, "superleaf blocks must be 128-lane aligned"
     if n_tris:
         from path_tracer_tpu.native import build_bvh as _build_bvh
+        from path_tracer_tpu.scene.bvh_layouts import (
+            build_directional_layouts_forest,
+        )
 
         q0 = v0[:n_tris]
         q1 = q0 + e1[:n_tris]
         q2 = q0 + e2[:n_tris]
-        sl = _build_bvh(np.minimum(np.minimum(q0, q1), q2),
-                        np.maximum(np.maximum(q0, q1), q2),
-                        leaf_size=SL_BLOCK)
-        leaf_nodes = np.nonzero(sl.prim_count > 0)[0]
-        n_blocks = len(leaf_nodes)
+        qmin = np.minimum(np.minimum(q0, q1), q2)
+        qmax = np.maximum(np.maximum(q0, q1), q2)
+        # One superleaf BVH per opacity partition (see the leaf-4 forest
+        # comment above); blocks are numbered globally [opaque..,
+        # transparent..] so block ids index the SHARED sl_tris_t / sl_bw_t /
+        # sl_attr tables from any column subset.
+        if 0 < n_op_tris < n_tris:
+            ranges = [(0, n_op_tris), (n_op_tris, n_tris)]
+        else:
+            ranges = [(0, n_tris)]
+        part_sls = [_build_bvh(qmin[a:b], qmax[a:b], leaf_size=SL_BLOCK)
+                    for a, b in ranges]
+        part_nblk = [int((s.prim_count > 0).sum()) for s in part_sls]
+        n_blocks = sum(part_nblk)
         assert n_tris < (1 << 24), "f32 prim ids in sl_attr need n < 2^24"
         sl_tris = np.zeros((n_blocks * SL_BLOCK, 9), np.float32)
         sl_map = np.zeros(n_blocks * SL_BLOCK, np.int32)
         sl_attr = np.zeros((n_blocks * SL_BLOCK, ATTR_W), np.float32)
         sl_inv = np.zeros(n_pad, np.int32)
-        meta_leaf = np.zeros(sl.skip.shape[0], np.int32)
-        for b, ni in enumerate(leaf_nodes):
-            f, c = int(sl.first_prim[ni]), int(sl.prim_count[ni])
-            ids = sl.prim_order[f : f + c]
-            base = b * SL_BLOCK
-            sl_tris[base : base + c, 0:3] = v0[ids]
-            sl_tris[base : base + c, 3:6] = e1[ids]
-            sl_tris[base : base + c, 6:9] = e2[ids]
-            sl_map[base : base + c] = ids
-            sl_attr[base : base + c, 0:3] = v0[ids]
-            sl_attr[base : base + c, 3:6] = e1[ids]
-            sl_attr[base : base + c, 6:9] = e2[ids]
-            sl_attr[base : base + c, 9:12] = n0[ids]
-            sl_attr[base : base + c, 12:15] = n1[ids]
-            sl_attr[base : base + c, 15:18] = n2[ids]
-            sl_attr[base : base + c, 18:21] = tangent[ids]
-            sl_attr[base : base + c, 21:23] = uv0[ids]
-            sl_attr[base : base + c, 23:25] = uv1[ids]
-            sl_attr[base : base + c, 25:27] = uv2[ids]
-            sl_attr[base : base + c, 27] = tri_model_arr[ids]
-            sl_attr[base : base + c, 28] = ids
-            sl_inv[ids] = np.arange(base, base + c, dtype=np.int32)
-            meta_leaf[ni] = b + 1
+        blk_min_all = np.zeros((n_blocks, 3), np.float32)
+        blk_max_all = np.zeros((n_blocks, 3), np.float32)
+        trees = []
+        bcur = 0
+        for (a, _b), slp in zip(ranges, part_sls):
+            leaf_nodes = np.nonzero(slp.prim_count > 0)[0]
+            meta_leaf = np.zeros(slp.skip.shape[0], np.int32)
+            for k, ni in enumerate(leaf_nodes):
+                bg = bcur + k  # global block id
+                f, c = int(slp.first_prim[ni]), int(slp.prim_count[ni])
+                ids = a + slp.prim_order[f : f + c]
+                base = bg * SL_BLOCK
+                sl_tris[base : base + c, 0:3] = v0[ids]
+                sl_tris[base : base + c, 3:6] = e1[ids]
+                sl_tris[base : base + c, 6:9] = e2[ids]
+                sl_map[base : base + c] = ids
+                sl_attr[base : base + c, 0:3] = v0[ids]
+                sl_attr[base : base + c, 3:6] = e1[ids]
+                sl_attr[base : base + c, 6:9] = e2[ids]
+                sl_attr[base : base + c, 9:12] = n0[ids]
+                sl_attr[base : base + c, 12:15] = n1[ids]
+                sl_attr[base : base + c, 15:18] = n2[ids]
+                sl_attr[base : base + c, 18:21] = tangent[ids]
+                sl_attr[base : base + c, 21:23] = uv0[ids]
+                sl_attr[base : base + c, 23:25] = uv1[ids]
+                sl_attr[base : base + c, 25:27] = uv2[ids]
+                sl_attr[base : base + c, 27] = tri_model_arr[ids]
+                sl_attr[base : base + c, 28] = ids
+                sl_inv[ids] = np.arange(base, base + c, dtype=np.int32)
+                meta_leaf[ni] = bg + 1
+            blk_min_all[bcur : bcur + len(leaf_nodes)] = slp.node_min[leaf_nodes]
+            blk_max_all[bcur : bcur + len(leaf_nodes)] = slp.node_max[leaf_nodes]
+            trees.append((slp.node_min, slp.node_max, slp.prim_count,
+                          slp.skip, meta_leaf))
+            bcur += len(leaf_nodes)
         # Baked per-row material columns (ATTR_* layout below): factors and
         # texture ids copied from the row's model so shading needs NO separate
         # model-indexed gathers (used only on the non-differentiable render
         # path — training reads the live factor arrays so gradients flow).
-        _bake_material_rows(sl_attr, sl_attr[:, 27].astype(np.int32), mats)
-        nsl = sl.skip.shape[0]
-        from path_tracer_tpu.scene.bvh_layouts import build_directional_layouts
-
-        sl_nodes6, sl_meta6 = build_directional_layouts(
-            sl.node_min, sl.node_max, sl.prim_count, sl.skip, meta_leaf
-        )
+        _bake_material_rows(sl_attr, sl_attr[:, 27].astype(np.int32), mats,
+                            atlas=(atlas.offsets, atlas.widths,
+                                   atlas.heights))
+        nsl = sum(t[3].shape[0] for t in trees)
+        sl_nodes6, sl_meta6 = build_directional_layouts_forest(trees)
+        # Partition block counts and 128-aligned column offsets.
+        if len(ranges) == 2:
+            nblk_op, nblk_tr = part_nblk
+        elif n_op_tris == n_tris:
+            nblk_op, nblk_tr = n_blocks, 0
+        else:
+            nblk_op, nblk_tr = 0, n_blocks
+        cols_op = ((nblk_op + 127) // 128) * 128 if nblk_op else 0
+        cols_tr = ((nblk_tr + 127) // 128) * 128 if nblk_tr else 0
         # Flat per-block tables for the flat-visit kernel: block bounds are
-        # the superleaf tree's leaf bounds, one layout (the kernel orders
-        # visits by per-tile slab tn, so column order is irrelevant).
-        blk_min = sl.node_min[leaf_nodes]
-        blk_max = sl.node_max[leaf_nodes]
-        b_pad = ((n_blocks + 127) // 128) * 128
+        # the superleaf trees' leaf bounds. Opaque blocks fill columns
+        # [0, cols_op) (ids 0..nblk_op-1), transparent blocks fill
+        # [cols_op, cols_op+cols_tr) (ids nblk_op..n_blocks-1); interior
+        # pad columns carry block id -1, masked in the kernels (NOTE:
+        # inverted-inf bounds do NOT fail a slab test — min/max reorders the
+        # infinities into an always-pass interval — hence id masking).
+        b_pad = max(128, cols_op + cols_tr)
         sl_blkflat = np.zeros((8, b_pad), np.float32)
-        # NOTE: inverted-inf bounds do NOT fail a slab test (min/max reorders
-        # the infinities into an always-pass interval) — pad columns are
-        # excluded via block id -1 instead, masked in the kernels.
         sl_blkid = np.full((1, b_pad), -1, np.int32)
-        sl_blkflat[0:3, :n_blocks] = blk_min.T
-        sl_blkflat[3:6, :n_blocks] = blk_max.T
-        sl_blkid[0, :n_blocks] = np.arange(n_blocks)
+        sl_blkflat[0:3, :nblk_op] = blk_min_all[:nblk_op].T
+        sl_blkflat[3:6, :nblk_op] = blk_max_all[:nblk_op].T
+        sl_blkid[0, :nblk_op] = np.arange(nblk_op)
+        if nblk_tr:
+            sl_blkflat[0:3, cols_op : cols_op + nblk_tr] = blk_min_all[nblk_op:].T
+            sl_blkflat[3:6, cols_op : cols_op + nblk_tr] = blk_max_all[nblk_op:].T
+            sl_blkid[0, cols_op : cols_op + nblk_tr] = np.arange(nblk_op, n_blocks)
         # Superblock unions over 128-column groups (pad columns are the
-        # min/max identities, so they never widen a union).
+        # min/max identities so they never widen a union; the 128-aligned
+        # partition offsets keep every group inside ONE partition, which is
+        # what lets the views slice sb columns too).
         nsb = b_pad // 128
-        gm = np.full((nsb * 128, 3), np.inf, np.float32)
-        gm[:n_blocks] = blk_min
-        gx = np.full((nsb * 128, 3), -np.inf, np.float32)
-        gx[:n_blocks] = blk_max
+        col_valid = (sl_blkid[0] >= 0)
+        gm = np.where(col_valid[:, None], 0.0, np.inf).astype(np.float32)
+        gx = np.where(col_valid[:, None], 0.0, -np.inf).astype(np.float32)
+        gm = gm + sl_blkflat[0:3].T
+        gx = gx + sl_blkflat[3:6].T
         sb_pad = ((nsb + 127) // 128) * 128
         sl_sbflat = np.zeros((8, sb_pad), np.float32)
         sl_sbid = np.full((1, sb_pad), -1, np.int32)
-        valid = np.arange(nsb) * 128 < n_blocks
+        valid = col_valid.reshape(nsb, 128).any(axis=1)
         sb_min = gm.reshape(nsb, 128, 3).min(axis=1)
         sb_max = gx.reshape(nsb, 128, 3).max(axis=1)
         sl_sbflat[0:3, :nsb] = np.where(valid[None, :], sb_min.T, 0.0)
         sl_sbflat[3:6, :nsb] = np.where(valid[None, :], sb_max.T, 0.0)
         sl_sbid[0, :nsb] = np.where(valid, np.arange(nsb), -1)
+        # Transparent-cluster PREFILTER boxes: ~32 tight AABBs over the
+        # transparent triangles. The partitioned walks slab-test every
+        # lane's segment against these in pure fused XLA (no gather, no
+        # kernel launch) and skip the walk for lanes that cannot touch
+        # transparent geometry — the transparent casts are launch-overhead
+        # bound, so emptying chunks is worth far more than shrinking
+        # tables (PERF.md round 3). Padding boxes are degenerate points at
+        # 1e30 (their slab interval misses every real segment).
+        n_tr_tris = n_tris - n_op_tris
+        tr_prefilter = np.full((32, 6), 1e30, np.float32)
+        if n_tr_tris:
+            tb = _build_bvh(qmin[n_op_tris:], qmax[n_op_tris:],
+                            leaf_size=max(4, (n_tr_tris + 31) // 32))
+            leaf = np.nonzero(tb.prim_count > 0)[0]
+            lmin, lmax = tb.node_min[leaf], tb.node_max[leaf]
+            if len(leaf) > 32:
+                # SAH can emit more leaves than n/leaf_size; coverage must
+                # stay COMPLETE — union the overflow into slot 31.
+                lmin = np.concatenate(
+                    [lmin[:31], lmin[31:].min(axis=0, keepdims=True)])
+                lmax = np.concatenate(
+                    [lmax[:31], lmax[31:].max(axis=0, keepdims=True)])
+            tr_prefilter[: len(lmin), 0:3] = lmin
+            tr_prefilter[: len(lmin), 3:6] = lmax
     else:
+        nblk_op = nblk_tr = 0
+        tr_prefilter = np.full((32, 6), 1e30, np.float32)
+        cols_op = cols_tr = 0
         n_blocks = 0
         nsl = 1
         sl_nodes6 = np.zeros((6, 8, 128), np.float32)
@@ -627,7 +858,9 @@ def build_device_scene(scene: isf.Scene, root,
     if sph_radius:
         sm = np.asarray(sph_model, np.int32)
         sph_rows[: len(sph_radius), 27] = sm
-        _bake_material_rows(sph_rows[: len(sph_radius)], sm, mats)
+        _bake_material_rows(sph_rows[: len(sph_radius)], sm, mats,
+                            atlas=(atlas.offsets, atlas.widths,
+                                   atlas.heights))
     sl_attr = np.concatenate([sl_attr, sph_rows], axis=0)
 
     # Lights
@@ -706,6 +939,7 @@ def build_device_scene(scene: isf.Scene, root,
             np.stack([bvh_nodes[:, 6].view(np.int32),
                       bvh_nodes[:, 7].view(np.int32)], axis=1)
         ),
+        bvh_nodes_tr=jnp.asarray(bvh_nodes_tr),
         bvh_tris=jnp.asarray(bvh_tris),
         tri_packed_t=jnp.asarray(
             np.ascontiguousarray(bvh_tris[:n_pad].T)
@@ -724,7 +958,19 @@ def build_device_scene(scene: isf.Scene, root,
         sl_attr=jnp.asarray(sl_attr),
         sl_inv=jnp.asarray(sl_inv),
         sph_packed_t=jnp.asarray(sph_packed_t_np),
+        tr_prefilter=jnp.asarray(tr_prefilter),
         no_textures=len(atlas.offsets) == 1,
+        # MEASURED NEGATIVE (PERF.md round 3): reading atlas geometry
+        # from the wide row is SLOWER end-to-end than the three tiny
+        # offset/width/height table gathers it replaces (8.1 s vs 5.5 s
+        # per 4-sample textured launch) — XLA lowers small-table gathers
+        # nearly free. Kept as an off-by-default knob.
+        attr_tex_baked=(os.environ.get("PT_BAKED_TEX") == "1"
+                        and atlas.next_offset < (1 << 24)),
+        has_tex=tuple(
+            any(t >= 0 for t in mats[k])
+            for k in ("albedo_t", "emissive_t", "opacity_t",
+                      "metal_t", "rough_t", "normal_t")),
         num_transparent_hits=n_transparent_hits,
         num_real_triangles=n_tris,
         num_real_spheres=len(sph_radius),
@@ -734,6 +980,12 @@ def build_device_scene(scene: isf.Scene, root,
         sl_n_nodes=nsl,
         sl_block=SL_BLOCK,
         sl_n_blocks=n_blocks,
+        n_tris_opaque=n_op_tris,
+        sl_n_blocks_opaque=nblk_op,
+        sl_cols_opaque=cols_op,
+        bvh_n_nodes_opaque=bvh_n_nodes_opaque,
+        bvh_n_nodes_tr=bvh_n_nodes_tr,
+        sph_all_opaque=sph_all_opaque,
         # Measured on TPU v5e (64k rays): the fused brute-force kernel wins
         # small scenes; the superleaf packet kernel wins large ones (100k-tri
         # showcase: 31x on Morton-sorted camera rays, never worse on
@@ -741,3 +993,76 @@ def build_device_scene(scene: isf.Scene, root,
         # showcase scale.
         use_bvh=use_bvh if use_bvh is not None else n_tris >= 4096,
     )
+
+
+# ---------------------------------------------------------------------------
+# Opacity-partition views
+# ---------------------------------------------------------------------------
+
+
+def partitioned(scene) -> bool:
+    """True when the opacity-partitioned fast path applies: the scene has
+    BOTH opaque and possibly-transparent triangles, every sphere is opaque,
+    and the BVH path is in use. The integrator then replaces the generic
+    sorted-hit walks with: one cast against the opaque subset (terminator /
+    binary any-hit) + a bounded walk over only the transparent subset —
+    semantically identical to the reference's full sorted-hit iteration
+    (ref mod.rs:188-205, 283-331), measured ~an order of magnitude cheaper
+    on textured-alpha scenes (PERF.md round 3). PT_NO_PARTITION=1 forces the
+    generic walk (A/B + parity testing)."""
+    import os
+
+    return (getattr(scene, "use_bvh", False)
+            and not scene.all_opaque
+            and scene.sph_all_opaque
+            and scene.sl_n_blocks_opaque > 0
+            and scene.sl_n_blocks > scene.sl_n_blocks_opaque
+            and os.environ.get("PT_NO_PARTITION") != "1")
+
+
+def opaque_view(scene):
+    """A DeviceScene view whose triangle acceleration structures cover ONLY
+    the opaque partition (spheres and every other table unchanged; block ids
+    and prim ids stay global, so hit records index the shared sl_attr /
+    triangle arrays directly)."""
+    c = scene.sl_cols_opaque
+    return dataclasses.replace(
+        scene,
+        sl_blkflat=scene.sl_blkflat[:, :c],
+        sl_blkid=scene.sl_blkid[:, :c],
+        sl_sbflat=_pad_cols(scene.sl_sbflat[:, : c // 128], 0.0),
+        sl_sbid=_pad_cols(scene.sl_sbid[:, : c // 128], -1),
+        sl_n_blocks=scene.sl_n_blocks_opaque,
+        bvh_n_nodes=scene.bvh_n_nodes_opaque,
+    )
+
+
+def transparent_view(scene):
+    """DeviceScene view over ONLY the possibly-transparent triangles."""
+    import jax.numpy as jnp  # noqa: F401
+
+    c = scene.sl_cols_opaque
+    ct = scene.sl_blkflat.shape[1] - c
+    nsb = max(1, ct // 128)
+    return dataclasses.replace(
+        scene,
+        sl_blkflat=scene.sl_blkflat[:, c : c + ct],
+        sl_blkid=scene.sl_blkid[:, c : c + ct],
+        sl_sbflat=_pad_cols(scene.sl_sbflat[:, c // 128 : c // 128 + nsb], 0.0),
+        sl_sbid=_pad_cols(scene.sl_sbid[:, c // 128 : c // 128 + nsb], -1),
+        sl_n_blocks=scene.sl_n_blocks - scene.sl_n_blocks_opaque,
+        bvh_nodes=scene.bvh_nodes_tr,
+        bvh_n_nodes=scene.bvh_n_nodes_tr,
+    )
+
+
+def _pad_cols(arr, fill):
+    """Pad the last dim up to a 128 multiple (>=128) with ``fill``."""
+    import jax.numpy as jnp
+
+    n = arr.shape[-1]
+    target = max(128, ((n + 127) // 128) * 128)
+    if n == target:
+        return arr
+    return jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(0, target - n)],
+                   constant_values=fill)

@@ -51,6 +51,14 @@ CASES = {
     # (num_transparent_hits + 1): pins that the auto-sized re-cast walk
     # covers the reference's full sorted-hit iteration with no override.
     "deep_alpha": (2.5, None, 0.02),
+    # Textured showcase (the bench workload class): terrain albedo/normal/
+    # roughness textures + alpha-cutout foliage + emissive billboard,
+    # through the opacity-PARTITIONED walks. 48 spp -> slightly wider band.
+    "showcase_tex": (3.2, None, 0.02),
+    # BASELINE.md graded config #3 at 256^2: glTF-CONVERTED mesh (12k tris,
+    # BVH auto-engaged) + translucent dome + checker texture. 24 spp (the
+    # 65k-pixel mean averages residual per-pixel MC noise down).
+    "glb_converted_256": (3.0, None, 0.02),
 }
 
 
@@ -80,7 +88,9 @@ def test_oracle_parity(case):
     oracle = z["radiance"].astype(np.float64)
     w, h, spp, bounces = (int(z["width"]), int(z["height"]), int(z["spp"]),
                           int(z["bounces"]))
-    scene_path = REPO / str(z["scene"])
+    from tests.oracle.case_scenes import resolve_scene
+
+    scene_path = resolve_scene(str(z["scene"]))
     tol, walk, energy_rtol = CASES[case]
 
     wave = _render_wavefront(scene_path, w, h, spp, bounces, walk)

@@ -25,7 +25,7 @@ REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
 
 DEFAULT_CASES = ("cube", "head", "spheres", "alpha_transparency",
-                 "cube_rr_b6")
+                 "cube_rr_b6", "showcase_tex", "glb_converted_256")
 
 
 def main(cases) -> int:
@@ -40,6 +40,7 @@ def main(cases) -> int:
         return 0
 
     from tests.oracle.reference_oracle import post_process
+    from tests.oracle.case_scenes import resolve_scene
     from tests.test_oracle_parity import CASES, GOLDEN, _render_wavefront
 
     failures = []
@@ -50,8 +51,8 @@ def main(cases) -> int:
         w, h, spp, bounces = (int(z["width"]), int(z["height"]),
                               int(z["spp"]), int(z["bounces"]))
         tol, walk, energy_rtol = CASES[case]
-        wave = _render_wavefront(REPO / str(z["scene"]), w, h, spp, bounces,
-                                 walk)
+        wave = _render_wavefront(resolve_scene(str(z["scene"])), w, h, spp,
+                                 bounces, walk)
 
         finite = (np.isfinite(oracle).all(axis=-1)
                   & np.isfinite(wave).all(axis=-1))
