@@ -23,50 +23,78 @@ from path_tracer_tpu.ops.intersect import KIND_NONE, KIND_SPHERE, HitRecord
 RAY_TILE = 512  # rays per grid step (lane dimension)
 
 
+def _sphere_chunk(chunk: int, n_sph: int):
+    """In-kernel sphere-table chunk width: big tables stream CHUNK-column
+    windows through a fori_loop with a running best so [RT, S] intermediates
+    never materialize (a 5k-sphere scene otherwise blows the 16 MB scoped
+    VMEM stack); small tables keep the single dense pass."""
+    return chunk if n_sph % chunk == 0 and n_sph >= chunk else 128
+
+
 def _kernel(o_ref, d_ref, tp_ref, sph_ref, fout_ref, iout_ref, *, n_sph: int):
     ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
     dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
     t_prev = tp_ref[0, :]
     rt = ox.shape[0]
-
-    # sph rows: [4, S] = cx, cy, cz, radius
-    cx = sph_ref[0, :][None, :]
-    cy = sph_ref[1, :][None, :]
-    cz = sph_ref[2, :][None, :]
-    rad = sph_ref[3, :][None, :]
+    chunk = _sphere_chunk(512, n_sph)
 
     def rc(a):
         return a[:, None]
 
-    # Quadratic a t^2 + b t + c = 0 per (ray, sphere), matching the
-    # oc = o - c formulation of the reference (model.rs:26-37).
-    ocx = rc(ox) - cx
-    ocy = rc(oy) - cy
-    ocz = rc(oz) - cz
-    a = rc(dx * dx + dy * dy + dz * dz)
-    b = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
-    c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-    disc = b * b - 4.0 * a * c
-    has = disc >= 0.0
-    sq = jnp.sqrt(jnp.where(has, disc, 0.0))
-    inv2a = 1.0 / (2.0 * a)
-    t1 = (-b - sq) * inv2a
-    t2 = (-b + sq) * inv2a
-
+    aq = rc(dx * dx + dy * dy + dz * dz)
     tp = rc(t_prev)
-    v1 = has & (t1 >= 0.0) & (t1 > tp)
-    v2 = has & (t2 >= 0.0) & (t2 > tp)
-    t_near = jnp.where(v1, t1, jnp.where(v2, t2, jnp.inf))
-    far_root = (~v1) & v2  # inside hit -> negated normal downstream
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rt, chunk), 1)
 
-    # min + masked index-min instead of argmin (argmin fails to lower for
-    # this shape in Mosaic); ties pick the smallest index like argmin.
-    tmin = jnp.min(t_near, axis=1)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (rt, t_near.shape[1]), 1)
-    is_min = t_near == tmin[:, None]
-    col = jnp.min(jnp.where(is_min, lanes, jnp.int32(1 << 30)), axis=1)
-    sel = lanes == col[:, None]
-    back = jnp.max(jnp.where(sel & far_root, 1.0, 0.0), axis=1)
+    def body(k, carry):
+        btmin, bcol, bback = carry
+        base = pl.multiple_of(k * chunk, 128)
+        # sph rows: [4, S] = cx, cy, cz, radius
+        cx = sph_ref[0, pl.ds(base, chunk)][None, :]
+        cy = sph_ref[1, pl.ds(base, chunk)][None, :]
+        cz = sph_ref[2, pl.ds(base, chunk)][None, :]
+        rad = sph_ref[3, pl.ds(base, chunk)][None, :]
+
+        # Quadratic a t^2 + b t + c = 0 per (ray, sphere), matching the
+        # oc = o - c formulation of the reference (model.rs:26-37).
+        ocx = rc(ox) - cx
+        ocy = rc(oy) - cy
+        ocz = rc(oz) - cz
+        b = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
+        c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = b * b - 4.0 * aq * c
+        has = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+        inv2a = 1.0 / (2.0 * aq)
+        t1 = (-b - sq) * inv2a
+        t2 = (-b + sq) * inv2a
+
+        v1 = has & (t1 >= 0.0) & (t1 > tp)
+        v2 = has & (t2 >= 0.0) & (t2 > tp)
+        t_near = jnp.where(v1, t1, jnp.where(v2, t2, jnp.inf))
+        far_root = (~v1) & v2  # inside hit -> negated normal downstream
+
+        # min + masked index-min instead of argmin (argmin fails to lower
+        # for this shape in Mosaic); ties pick the smallest index like
+        # argmin, and the STRICT < merge keeps the earlier chunk on cross-
+        # chunk ties — exactly global argmin semantics.
+        tmin = jnp.min(t_near, axis=1)
+        is_min = t_near == tmin[:, None]
+        col = jnp.min(jnp.where(is_min, lanes, jnp.int32(1 << 30)), axis=1)
+        sel = lanes == col[:, None]
+        back = jnp.max(jnp.where(sel & far_root, 1.0, 0.0), axis=1)
+
+        # k == 0 unconditionally seeds the carry so all-miss lanes report
+        # chunk 0's index-min over infs (= 0), exactly like the unchunked
+        # kernel and the jnp argmin reference.
+        better = (tmin < btmin) | (k == 0)
+        return (jnp.where(better, tmin, btmin),
+                jnp.where(better, base + col, bcol),
+                jnp.where(better, back, bback))
+
+    init = (jnp.full((rt,), jnp.inf, jnp.float32),
+            jnp.zeros((rt,), jnp.int32),
+            jnp.zeros((rt,), jnp.float32))
+    tmin, col, back = jax.lax.fori_loop(0, n_sph // chunk, body, init)
 
     fout_ref[0, :] = tmin
     fout_ref[1, :] = back
@@ -150,32 +178,39 @@ def _occ_kernel(o_ref, d_ref, tmax_ref, sph_ref, out_ref, *, n_sph: int):
     ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
     dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
     t_max = tmax_ref[0, :]
-
-    cx = sph_ref[0, :][None, :]
-    cy = sph_ref[1, :][None, :]
-    cz = sph_ref[2, :][None, :]
-    rad = sph_ref[3, :][None, :]
+    rt = ox.shape[0]
+    chunk = _sphere_chunk(512, n_sph)
 
     def rc(a):
         return a[:, None]
 
-    ocx = rc(ox) - cx
-    ocy = rc(oy) - cy
-    ocz = rc(oz) - cz
-    a = rc(dx * dx + dy * dy + dz * dz)
-    b = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
-    c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-    disc = b * b - 4.0 * a * c
-    has = disc >= 0.0
-    sq = jnp.sqrt(jnp.where(has, disc, 0.0))
-    inv2a = 1.0 / (2.0 * a)
-    t1 = (-b - sq) * inv2a
-    t2 = (-b + sq) * inv2a
-
+    aq = rc(dx * dx + dy * dy + dz * dz)
     tm = rc(t_max)
-    v1 = has & (t1 >= 0.0) & (t1 <= tm)
-    v2 = has & (t2 >= 0.0) & (t2 <= tm)
-    out_ref[0, :] = jnp.max(jnp.where(v1 | v2, 1.0, 0.0), axis=1)
+
+    def body(k, hit):
+        base = pl.multiple_of(k * chunk, 128)
+        cx = sph_ref[0, pl.ds(base, chunk)][None, :]
+        cy = sph_ref[1, pl.ds(base, chunk)][None, :]
+        cz = sph_ref[2, pl.ds(base, chunk)][None, :]
+        rad = sph_ref[3, pl.ds(base, chunk)][None, :]
+        ocx = rc(ox) - cx
+        ocy = rc(oy) - cy
+        ocz = rc(oz) - cz
+        b = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
+        c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = b * b - 4.0 * aq * c
+        has = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+        inv2a = 1.0 / (2.0 * aq)
+        t1 = (-b - sq) * inv2a
+        t2 = (-b + sq) * inv2a
+        v1 = has & (t1 >= 0.0) & (t1 <= tm)
+        v2 = has & (t2 >= 0.0) & (t2 <= tm)
+        return jnp.maximum(hit, jnp.max(jnp.where(v1 | v2, 1.0, 0.0), axis=1))
+
+    hit = jax.lax.fori_loop(0, n_sph // chunk, body,
+                            jnp.zeros((rt,), jnp.float32))
+    out_ref[0, :] = hit
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

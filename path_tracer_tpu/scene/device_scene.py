@@ -141,9 +141,13 @@ def _baldwin_weber_rows(sl_tris: np.ndarray) -> np.ndarray:
 
 
 def _pack_spheres(centers: np.ndarray, radii: np.ndarray) -> np.ndarray:
-    """[4, S_pad] lane-major sphere table padded with guaranteed misses."""
+    """[4, S_pad] lane-major sphere table padded with guaranteed misses.
+
+    Big tables pad to a 512 multiple so the Pallas sphere kernels can
+    stream 512-column chunks (ops/pallas_spheres._sphere_chunk); small
+    tables stay at 128 so tiny scenes keep their single dense pass."""
     s = centers.shape[0]
-    s_pad = _pad_to(s, 128)
+    s_pad = _pad_to(s, 128) if s <= 384 else _pad_to(s, 512)
     out = np.full((4, s_pad), 1e30, np.float32)
     out[3, :] = 0.0
     out[0:3, :s] = centers.T

@@ -59,6 +59,7 @@ CASES = {
     # BVH auto-engaged) + translucent dome + checker texture. 24 spp (the
     # 65k-pixel mean averages residual per-pixel MC noise down).
     "glb_converted_256": (3.0, None, 0.02),
+    "glb_converted_512": (3.0, None, 0.02),
 }
 
 

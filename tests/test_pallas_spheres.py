@@ -32,3 +32,56 @@ def test_sphere_kernel_matches_reference(reference_scenes):
         np.testing.assert_array_equal(np.asarray(ref.backface),
                                       np.asarray(pk.backface))
         assert float(jnp.mean(ref.valid)) > 0.3
+
+
+def test_sphere_kernel_chunked_big_table():
+    """Sphere-HEAVY scene (4900 spheres): the kernel streams 512-column
+    chunks with a running best, so big tables never blow the VMEM scoped
+    stack (a 4900-sphere scene crashed Mosaic compilation before the
+    chunked rewrite). Cross-chunk argmin ties must keep the smallest
+    index, matching the jnp reference."""
+    from path_tracer_tpu.ops.intersect import closest_hit_spheres
+    from path_tracer_tpu.ops.pallas_spheres import closest_hit_spheres_pallas
+    from path_tracer_tpu.scene.procedural import sphere_grid_device_scene
+
+    scene = sphere_grid_device_scene(70)  # 4900 spheres
+    assert scene.sph_packed_t.shape[1] % 512 == 0  # chunkable padding
+    rng = np.random.default_rng(9)
+    r = 512
+    o = jnp.asarray(rng.uniform(-45, 45, (r, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-38, 38, (r, 3)).astype(np.float32))
+    d = tgt - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tp = jnp.full((r,), -1.0, jnp.float32)
+    ref = closest_hit_spheres(o, d, tp, scene)
+    pk = closest_hit_spheres_pallas(o, d, tp, scene, interpret=True)
+    # Near-tangent hits can flip prim between the division and the
+    # multiply-by-reciprocal forms of the root (1-ulp discriminant
+    # differences, same class the module docstring documents); at
+    # 4900-sphere density a few grazing lanes flip — bound the RATE.
+    mism = np.asarray(ref.prim) != np.asarray(pk.prim)
+    assert mism.mean() <= 0.01, f"prim flip rate {mism.mean():.3f}"
+    ok = ~mism
+    np.testing.assert_allclose(np.asarray(ref.t)[ok], np.asarray(pk.t)[ok],
+                               rtol=1e-3, atol=1e-6)
+    assert float(jnp.mean(ref.valid)) > 0.3
+
+
+def test_sphere_occ_kernel_chunked_big_table():
+    from path_tracer_tpu.ops.pallas_spheres import occluded_spheres_pallas
+    from path_tracer_tpu.ops.intersect import closest_hit_spheres
+    from path_tracer_tpu.scene.procedural import sphere_grid_device_scene
+
+    scene = sphere_grid_device_scene(70)
+    rng = np.random.default_rng(10)
+    r = 512
+    o = jnp.asarray(rng.uniform(-45, 45, (r, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-38, 38, (r, 3)).astype(np.float32))
+    d = tgt - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ref = closest_hit_spheres(o, d, jnp.full((r,), -1.0, jnp.float32), scene)
+    t_ref = np.where(np.isfinite(np.asarray(ref.t)), np.asarray(ref.t), 500.0)
+    above = jnp.asarray((t_ref * 1.01).astype(np.float32))
+    occ = occluded_spheres_pallas(o, d, above, scene, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ),
+                                  np.asarray(ref.t) <= np.asarray(above))

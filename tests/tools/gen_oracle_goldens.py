@@ -56,6 +56,8 @@ CASES = {
     # BASELINE.md graded config #3: glTF-CONVERTED mesh via BVH + alpha at
     # >=256^2 — kernel-block-boundary bugs cannot hide below 64x48.
     "glb_converted_256": ("@glb_converted", 24, 4, 256, 256),
+    # ... and at the full 512^2 of BASELINE #3 (chip gate + CPU suite).
+    "glb_converted_512": ("@glb_converted", 12, 4, 512, 512),
 }
 
 

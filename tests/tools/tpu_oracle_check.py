@@ -25,7 +25,7 @@ REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
 
 DEFAULT_CASES = ("cube", "head", "spheres", "alpha_transparency",
-                 "cube_rr_b6", "showcase_tex", "glb_converted_256")
+                 "cube_rr_b6", "showcase_tex", "glb_converted_512")
 
 
 def main(cases) -> int:
