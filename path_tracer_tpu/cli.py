@@ -100,6 +100,10 @@ def run_render(args) -> None:
                        checkpoint_every=args.checkpoint_every)
     save_png(image, args.output)
     if viewer is not None:
+        # The reference blocks until the viewer window closes after the
+        # render finishes (viewer.rs:83-101 wait_for_close); the HTTP
+        # analog keeps serving the final frame until /stop or Ctrl-C.
+        viewer.wait_for_close()
         viewer.close()
 
 

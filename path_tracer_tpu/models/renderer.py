@@ -93,7 +93,10 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
     The tiles x sample-batches launch loop without post-processing — used by
     the renderer, the benchmark, and checkpointed renders. ``pass_callback``
     (if given) is called as cb(samples_done, accum_fn) after each sample
-    batch, where accum_fn() transfers the current [W*H,3] sums to host.
+    batch, where accum_fn() transfers the current [W*H,3] sums to host; a
+    callback returning False STOPS the render after that batch (the
+    viewer's interactive stop) — the returned sums then cover only the
+    samples completed so far.
 
     ``snapshot=False`` skips the final device->host transfer and returns the
     raw per-tile device accumulators (Morton pixel order) instead. Callers
@@ -190,7 +193,8 @@ def render_pixel_sums(scene, width: int, height: int, sample_start: int,
                                             k, spec, spw=spw)
         sample += k
         if pass_callback is not None:
-            pass_callback(sample - sample_start, take_snapshot)
+            if pass_callback(sample - sample_start, take_snapshot) is False:
+                break
     if not snapshot:
         return accs
     return take_snapshot()
@@ -226,12 +230,21 @@ def render(scene, profile: Profile, progress: bool = False,
     bar = _ProgressBar(profile.samples, enabled=progress)
     bar.set(samples_done)
     last_saved = samples_done
+    stopped_at = None  # early interactive stop (viewer Stop button)
 
     def on_pass(done_in_run, snapshot):
-        nonlocal last_saved
+        nonlocal last_saved, stopped_at
         done = samples_done + done_in_run
         if viewer is not None:
-            viewer.update(_finalize(snapshot(), done, profile, width, height))
+            rays = (width * height * done_in_run * (profile.bounces + 1))
+            try:
+                viewer.update(
+                    _finalize(snapshot(), done, profile, width, height),
+                    samples_done=done, samples_total=profile.samples,
+                    rays_done=rays)
+            except TypeError:  # minimal viewers: update(image) only
+                viewer.update(
+                    _finalize(snapshot(), done, profile, width, height))
         if checkpoint_path is not None and (
             checkpoint_every <= 0 or done - last_saved >= checkpoint_every
             or done >= profile.samples
@@ -241,6 +254,11 @@ def render(scene, profile: Profile, progress: bool = False,
             ckpt.save(checkpoint_path, snapshot(), done, fp)
             last_saved = done
         bar.set(done)
+        if viewer is not None and getattr(viewer, "stop_requested", False):
+            # Stop after this batch; finalize over the samples accumulated.
+            stopped_at = done
+            return False
+        return True
 
     if samples_done < profile.samples:
         accum = render_pixel_sums(
@@ -255,12 +273,14 @@ def render(scene, profile: Profile, progress: bool = False,
     else:
         accum = init_accum
 
+    total_samples = stopped_at if stopped_at is not None else profile.samples
     elapsed = time.time() - t0
-    n_rays = width * height * (profile.samples - samples_done) \
+    n_rays = width * height * (total_samples - samples_done) \
         * (profile.bounces + 1)
-    bar.finish(f"Done: {elapsed:.1f}s ({n_rays / max(elapsed, 1e-9) / 1e6:.1f}"
-               f" Mray/s)")
-    return _finalize(accum, profile.samples, profile, width, height)
+    verb = "Stopped" if stopped_at is not None else "Done"
+    bar.finish(f"{verb}: {elapsed:.1f}s "
+               f"({n_rays / max(elapsed, 1e-9) / 1e6:.1f} Mray/s)")
+    return _finalize(accum, total_samples, profile, width, height)
 
 
 def _finalize(accum: np.ndarray, samples: int, profile: Profile, width, height):
