@@ -390,9 +390,6 @@ def _hits_transparent_bounds(scene, o, d, t_max):
     padding boxes are degenerate far points that never pass."""
     boxes = scene.tr_prefilter  # [P,6]
     inv = 1.0 / d  # [R,3]; IEEE inf on zero components
-    tn = jnp.full(o.shape[:1], -jnp.inf, jnp.float32)
-    tf = jnp.full(o.shape[:1], jnp.inf, jnp.float32)
-    hit = jnp.zeros(o.shape[:1], jnp.bool_)
     # Component-major: [R,P] intermediates only (P=32).
     t0 = (boxes[None, :, 0:3] - o[:, None, :]) * inv[:, None, :]
     t1 = (boxes[None, :, 3:6] - o[:, None, :]) * inv[:, None, :]
@@ -401,8 +398,7 @@ def _hits_transparent_bounds(scene, o, d, t_max):
     tn = jnp.max(jnp.where(jnp.isnan(lo), -jnp.inf, lo), axis=-1)  # [R,P]
     tf = jnp.min(jnp.where(jnp.isnan(hi), jnp.inf, hi), axis=-1)
     ok = (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_max[:, None])
-    hit = jnp.any(ok, axis=-1)
-    return hit
+    return jnp.any(ok, axis=-1)
 
 
 def _walk_chunks(r: int) -> int:

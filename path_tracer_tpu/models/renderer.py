@@ -237,14 +237,12 @@ def render(scene, profile: Profile, progress: bool = False,
         done = samples_done + done_in_run
         if viewer is not None:
             rays = (width * height * done_in_run * (profile.bounces + 1))
-            try:
-                viewer.update(
-                    _finalize(snapshot(), done, profile, width, height),
-                    samples_done=done, samples_total=profile.samples,
-                    rays_done=rays)
-            except TypeError:  # minimal viewers: update(image) only
-                viewer.update(
-                    _finalize(snapshot(), done, profile, width, height))
+            img = _finalize(snapshot(), done, profile, width, height)
+            if _viewer_takes_progress(viewer):
+                viewer.update(img, samples_done=done,
+                              samples_total=profile.samples, rays_done=rays)
+            else:  # minimal viewers: update(image) only
+                viewer.update(img)
         if checkpoint_path is not None and (
             checkpoint_every <= 0 or done - last_saved >= checkpoint_every
             or done >= profile.samples
@@ -281,6 +279,17 @@ def render(scene, profile: Profile, progress: bool = False,
     bar.finish(f"{verb}: {elapsed:.1f}s "
                f"({n_rays / max(elapsed, 1e-9) / 1e6:.1f} Mray/s)")
     return _finalize(accum, total_samples, profile, width, height)
+
+
+def _viewer_takes_progress(viewer) -> bool:
+    """Signature check done ONCE per viewer type (a bare except TypeError
+    around update() would misclassify TypeErrors raised INSIDE a viewer)."""
+    import inspect
+
+    try:
+        return "samples_done" in inspect.signature(viewer.update).parameters
+    except (TypeError, ValueError):
+        return False
 
 
 def _finalize(accum: np.ndarray, samples: int, profile: Profile, width, height):

@@ -1004,12 +1004,15 @@ def _flat2_kernel(o_ref, d_ref, tp_ref, sb_ref, sbid_ref, blk_ref, bid_ref,
         iota_sb = jax.lax.broadcasted_iota(jnp.int32, (1, sbpad), 1)
         iota_in = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-        def visit_dense(col, best):
-            """Dense [RT, block] Baldwin-Weber on block COLUMN col, table
+        def visit_dense(block_id, best):
+            """Dense [RT, block] Baldwin-Weber on block ID block_id, table
             window DMA'd from HBM (see _flat_kernel.visit_block for the
-            math and semantics notes)."""
+            math and semantics notes). NOTE: the window is addressed by the
+            block's ID from the bid table, NOT its column position — the
+            opacity partition leaves 128-aligned gaps between the opaque and
+            transparent column ranges, so column != id on mixed scenes."""
             bt, bi, bu, bv, bb = best
-            start = pl.multiple_of(col * block, 128)
+            start = pl.multiple_of(block_id * block, 128)
             cp = pltpu.make_async_copy(bw_ref.at[:, pl.ds(start, block)],
                                        buf_ref, sem)
             cp.start()
@@ -1077,7 +1080,8 @@ def _flat2_kernel(o_ref, d_ref, tp_ref, sb_ref, sbid_ref, blk_ref, bid_ref,
 
             def body(state):
                 cur, visited, bt, bi, bu, bv, bb = state
-                best = visit_dense(cur_sb * 128 + cur, (bt, bi, bu, bv, bb))
+                bid = jnp.sum(jnp.where(iota_in == cur, bids_in, 0))
+                best = visit_dense(bid, (bt, bi, bu, bv, bb))
                 visited = visited + jnp.where(iota_in == cur, 1.0, 0.0)
                 nxt = next_in(visited, best[0])
                 return (nxt, visited, *best)
@@ -1246,8 +1250,8 @@ def _flat2_occ_kernel(o_ref, d_ref, tmax_ref, sb_ref, sbid_ref, blk_ref,
             tnmin_sb = jnp.min(jnp.where(hit0_sb > 0.0, tn_sb, jnp.inf),
                                axis=0, keepdims=True)
 
-            def visit_dense(col, occ):
-                start = pl.multiple_of(col * block, 128)
+            def visit_dense(block_id, occ):
+                start = pl.multiple_of(block_id * block, 128)
                 cp = pltpu.make_async_copy(
                     bw_ref.at[:, pl.ds(start, block)], buf_ref, sem)
                 cp.start()
@@ -1300,7 +1304,8 @@ def _flat2_occ_kernel(o_ref, d_ref, tmax_ref, sb_ref, sbid_ref, blk_ref,
 
                 def body(state):
                     cur, visited, occ = state
-                    occ = visit_dense(cur_sb * 128 + cur, occ)
+                    bid = jnp.sum(jnp.where(iota_in == cur, bids_in, 0))
+                    occ = visit_dense(bid, occ)
                     visited = visited + jnp.where(iota_in == cur, 1.0, 0.0)
                     return (next_in(visited, occ), visited, occ)
 

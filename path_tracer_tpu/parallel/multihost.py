@@ -86,24 +86,40 @@ def render_multihost(scene, profile, mesh=None):
     width, height = profile.resolution.width, profile.resolution.height
     n_pix = width * height
     n_dev = mesh.devices.size
-    n_pad = ((n_pix + n_dev - 1) // n_dev) * n_dev  # device-divisible lanes
     sharding = NamedSharding(mesh, P(DP_AXIS))
-
-    # Each process contributes its contiguous slice of the padded id array
-    # (padding lanes re-render pixel 0 and are discarded after the gather).
-    start, stop = local_pixel_slice(n_pad)
-    local_ids = np.arange(start, stop, dtype=np.int32)
-    local_ids[local_ids >= n_pix] = 0
-    ids = jax.make_array_from_process_local_data(sharding, local_ids, (n_pad,))
-
     spec = integrator_spec(profile)
-    acc = render_sharded(scene, mesh, ids, width, height, jnp.int32(1),
-                         profile.samples, spec)
 
-    # Replicate the radiance sums onto every process with one all_gather.
+    # Tile the frame and batch the samples exactly like the single-host
+    # driver (renderer.render_pixel_sums): per-lane integrator state scales
+    # with the wavefront, so one untiled 1080p x all-samples launch would
+    # exhaust device memory where the tiled path works.
+    tile = min(profile.tile_rays, n_pix)
+    tile = ((tile + n_dev - 1) // n_dev) * n_dev  # device-divisible lanes
+    n_tiles = (n_pix + tile - 1) // tile
+    spl = max(1, profile.samples_per_launch)
+
     gather = jax.jit(jax.shard_map(
         lambda a: jax.lax.all_gather(a, DP_AXIS, axis=0, tiled=True),
         mesh=mesh, in_specs=P(DP_AXIS), out_specs=P(), check_vma=False))
-    full = gather(acc)
-    rows = np.asarray(full.addressable_data(0))[:n_pix]
-    return _finalize(rows, profile.samples, profile, width, height)
+
+    rows = np.zeros((n_tiles * tile, 3), np.float32)
+    for t in range(n_tiles):
+        g0 = t * tile
+        # Each process contributes its contiguous slice of this tile's id
+        # range (padding lanes re-render pixel 0; discarded below).
+        start, stop = local_pixel_slice(tile)
+        local_ids = np.arange(g0 + start, g0 + stop, dtype=np.int32)
+        local_ids[local_ids >= n_pix] = 0
+        ids = jax.make_array_from_process_local_data(sharding, local_ids,
+                                                     (tile,))
+        acc = None
+        done = 0
+        while done < profile.samples:
+            k = min(spl, profile.samples - done)
+            part = render_sharded(scene, mesh, ids, width, height,
+                                  jnp.int32(1 + done), k, spec)
+            acc = part if acc is None else acc + part
+            done += k
+        # Replicate this tile's radiance sums onto every process.
+        rows[g0 : g0 + tile] = np.asarray(gather(acc).addressable_data(0))
+    return _finalize(rows[:n_pix], profile.samples, profile, width, height)

@@ -1016,12 +1016,22 @@ def partitioned(scene) -> bool:
     generic walk (A/B + parity testing)."""
     import os
 
-    return (getattr(scene, "use_bvh", False)
+    if not (getattr(scene, "use_bvh", False)
             and not scene.all_opaque
             and scene.sph_all_opaque
             and scene.sl_n_blocks_opaque > 0
             and scene.sl_n_blocks > scene.sl_n_blocks_opaque
-            and os.environ.get("PT_NO_PARTITION") != "1")
+            and os.environ.get("PT_NO_PARTITION") != "1"):
+        return False
+    # The views scope the FLAT-family tables and the leaf-4 forest; the
+    # directional superleaf layouts (tree packet kernel) are NOT scoped —
+    # under PT_BVH_KERNEL=tree a view would silently walk the full scene,
+    # so the partition stands down and the generic walks run instead.
+    from path_tracer_tpu.ops.intersect import _on_tpu, _use_flat_walk
+
+    if _on_tpu() and not _use_flat_walk(scene):
+        return False
+    return True
 
 
 def opaque_view(scene):

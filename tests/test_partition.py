@@ -170,3 +170,26 @@ def test_partitioned_render_matches_generic_differentiable(mixed_scene,
     assert abs(float(la) - float(lb)) <= 1e-4, (float(la), float(lb))
     assert abs(float(ga) - float(gb)) <= 1e-2 * max(1.0, abs(float(gb))), \
         (float(ga), float(gb))
+
+
+def test_flat2_on_partitioned_tables_interpret(mixed_scene):
+    """flat2 addresses triangle windows by BLOCK ID from the bid table, not
+    by column position — the opacity partition leaves a 128-aligned column
+    gap between the opaque and transparent ranges (column != id), which a
+    position-addressed visit would read out of bounds (review round 3)."""
+    from path_tracer_tpu.ops.bvh_traverse import closest_hit_triangles_bvh
+    from path_tracer_tpu.ops.pallas_bvh import closest_hit_triangles_flat2
+
+    s = mixed_scene
+    assert s.sl_cols_opaque > s.sl_n_blocks_opaque  # a real column gap
+    r = 256
+    o, d = _rays(s, r, 21)
+    tp = jnp.full((r,), -1.0, jnp.float32)
+    ref = closest_hit_triangles_bvh(o, d, tp, s)
+    got = closest_hit_triangles_flat2(o, d, tp, s, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=5e-5, atol=1e-5)
+    # Some hits must land in the TRANSPARENT range for the gap to matter.
+    hits = np.asarray(ref.prim)[np.isfinite(np.asarray(ref.t))]
+    assert (hits >= s.n_tris_opaque).any()
