@@ -421,6 +421,178 @@ def _walk_chunks(r: int) -> int:
     return c
 
 
+def _use_dense_tr(scene) -> bool:
+    """Static gate for the DENSE (column) transparent-walk path.
+
+    When the transparent partition is small (foliage cards, decals — the
+    reference's alpha content is exactly this shape), the bounded walks can
+    precompute EVERY candidate hit + its opacity up front (one
+    k_nearest_tr_hits Pallas launch on TPU / one fused MT matrix pass on
+    CPU) and collapse to a statically-unrolled column loop of pure vector
+    math — value-identical to the per-iteration cast walk (same strict
+    t > t_prev advance, same MT math — ops/intersect.py:59-83; gated by
+    test_partition.test_dense_tr_walk_matches_cast_walk).
+
+    DEFAULT: ON for CPU/interpret backends (one fused pass beats many
+    scanned casts), OFF on TPU. On the chip the cast walk is already at
+    its gather-bound floor and the column design measured SLOWER — the
+    opacity precompute pays kk/0.4 ~ 15x the cast walk's gather volume
+    (TPU gathers cost ~20-50 ns/lane regardless of width) and the k-hit
+    kernel (~19 ms per 2^18-ray all-active launch) costs about what the
+    per-iteration cast launches it replaces cost (~0.32 ms x ~64 active
+    chunk-iterations) — see PERF.md round 3 "dense transparent walk".
+    PT_DENSE_TR=1 forces it on (A/B); PT_NO_DENSE_TR=1 forces the cast
+    walk; PT_DENSE_TR_MAX bounds the transparent-slice size."""
+    import os
+
+    if os.environ.get("PT_NO_DENSE_TR") == "1":
+        return False
+    t = scene.tri_v0.shape[0] - scene.n_tris_opaque
+    if not 0 < t <= int(os.environ.get("PT_DENSE_TR_MAX", "4096")):
+        return False
+    if os.environ.get("PT_DENSE_TR") == "1":
+        return True
+    from path_tracer_tpu.ops.intersect import _on_tpu
+
+    return not _on_tpu()
+
+
+def _dense_tr_hits(scene, o, d, steps, active, t_max=None):
+    """(ts, pos) [min(steps,T), R]: each ray's `steps` nearest transparent
+    hits, produced up front for a FULL wavefront in one pass: on TPU by ONE
+    k_nearest_tr_hits Pallas launch (whole transparent table VMEM-resident,
+    all-inactive 128-ray tiles skipped), elsewhere by a component-major jnp
+    MT matrix pass (only [R,T] 2D intermediates — a [R,T,3] f32 array tiles
+    its trailing dim 3 -> 128 on TPU, a 42x memory blowup; same trick as
+    _sphere_quadratic) + `steps` argmin passes. Both producers emit the
+    SAME contract: ascending t with the cast walk's strict t > t_prev
+    duplicate-skip baked in, +inf past the end, ties to the lowest triangle
+    index (jnp.argmin order)."""
+    from path_tracer_tpu.ops.intersect import DET_EPS, T_MIN, _on_tpu
+
+    c = scene.n_tris_opaque
+    tri_v0, tri_e1, tri_e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
+    # The auto walk bound (`steps` = num_transparent_hits + 1) can be the
+    # WHOLE transparent set — free for the early-exiting cast walk, ruinous
+    # for a precompute. Cap the precomputed hits at PT_DENSE_TR_K (measured
+    # max productive crossings on the textured showcase: 4); iterations past
+    # the cap fall back to exact per-iteration casts in the residual walk,
+    # so semantics never truncate.
+    kk = _dense_k(scene, steps)
+    if _on_tpu():
+        from path_tracer_tpu.ops.pallas_intersect import k_nearest_tr_hits
+
+        ts, pos = k_nearest_tr_hits(o, d, active, scene, kk, t_max=t_max)
+    else:
+        ox, oy, oz = (o[:, k : k + 1] for k in range(3))  # [R,1]
+        dx, dy, dz = (d[:, k : k + 1] for k in range(3))
+        v0x, v0y, v0z = (tri_v0[c:, k][None, :] for k in range(3))  # [1,T]
+        ax, ay, az = (tri_e1[c:, k][None, :] for k in range(3))  # e1
+        bx, by, bz = (tri_e2[c:, k][None, :] for k in range(3))  # e2
+        px = dy * bz - dz * by  # pvec = d x e2, [R,T]
+        py = dz * bx - dx * bz
+        pz = dx * by - dy * bx
+        det = ax * px + ay * py + az * pz
+        valid = jnp.abs(det) >= DET_EPS
+        inv = 1.0 / jnp.where(valid, det, 1.0)
+        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z  # tvec
+        u = (tx * px + ty * py + tz * pz) * inv
+        valid &= (u >= 0.0) & (u <= 1.0)
+        qx = ty * az - tz * ay  # qvec = tvec x e1
+        qy = tz * ax - tx * az
+        qz = tx * ay - ty * ax
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        valid &= (v >= 0.0) & (u + v <= 1.0)
+        t = (bx * qx + by * qy + bz * qz) * inv
+        valid &= t >= T_MIN
+        tm = jnp.where(valid, t, jnp.inf)  # [R,T]
+
+        # `steps` argmin passes (NOT lax.top_k — its sort crashes the TPU
+        # worker when nested under the samples-scan, and K passes are
+        # cheaper for K<=~6 anyway). Each pass knocks out every entry with
+        # t <= the selected t = the cast walk's strict t > t_prev advance:
+        # EXACT duplicate ts (shared foliage-card edges report both
+        # triangles at one t) are skipped; ties pick the lowest triangle
+        # index like the argmin a cast runs.
+        ts_cols, pos_cols = [], []
+        work = tm
+        for _ in range(kk):
+            j = jnp.argmin(work, axis=1)
+            tj = jnp.min(work, axis=1)
+            ts_cols.append(tj)
+            pos_cols.append(j.astype(jnp.int32))
+            work = jnp.where(work <= tj[:, None], jnp.inf, work)
+        ts = jnp.stack(ts_cols, axis=0)  # [kk,R] ascending, +inf past end
+        pos = jnp.stack(pos_cols, axis=0)
+    return ts, pos
+
+
+def _dense_k(scene, steps: int) -> int:
+    """Static column count of the dense precompute (see _dense_tr_hits)."""
+    import os
+
+    return min(steps, scene.tri_v0.shape[0] - scene.n_tris_opaque,
+               int(os.environ.get("PT_DENSE_TR_K", "6")))
+
+
+def _dense_hit_columns(scene, o, d, ts, pos):
+    """FLAT HitRecord ([kk*R] fields) for every precomputed candidate hit.
+
+    Reconstructs u/v/backface for all kk*R (ray, hit) pairs in ONE batched
+    pass: the triangle data comes from a single gather of the [9, T] packed
+    table (column-major — the output [9, kk*R] keeps the long axis on
+    lanes; a [N,3] gather would pad its trailing dim 3 -> 128, a 42x
+    blowup that made per-iteration recomputes slower than the casts they
+    replaced). Same MT formulas as ops/intersect.py:59-83; `packed` via
+    sl_inv like the jnp fallback paths. Exhausted entries (t=+inf) carry
+    kind NONE.
+    """
+    from path_tracer_tpu.ops.intersect import DET_EPS, KIND_NONE
+
+    kk, r = ts.shape
+    c = scene.n_tris_opaque
+    prim = (c + pos).reshape(kk * r)
+    tf = ts.reshape(kk * r)
+    fin = jnp.isfinite(tf)
+    tp = scene.tri_packed_t
+    tri9 = tp[:, jnp.minimum(prim, tp.shape[1] - 1)]  # [9, kk*R]
+
+    def rep(x):  # [R] -> [kk*R]
+        return jnp.broadcast_to(x[None, :], (kk, r)).reshape(kk * r)
+
+    ox, oy, oz = rep(o[:, 0]), rep(o[:, 1]), rep(o[:, 2])
+    dx, dy, dz = rep(d[:, 0]), rep(d[:, 1]), rep(d[:, 2])
+    v0x, v0y, v0z = tri9[0], tri9[1], tri9[2]
+    e1x, e1y, e1z = tri9[3], tri9[4], tri9[5]
+    e2x, e2y, e2z = tri9[6], tri9[7], tri9[8]
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    inv = 1.0 / jnp.where(jnp.abs(det) >= DET_EPS, det, 1.0)
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+    packed = scene.sl_inv[jnp.minimum(prim, scene.sl_inv.shape[0] - 1)]
+    return HitRecord(
+        t=jnp.where(fin, tf, jnp.inf),
+        kind=jnp.where(fin, KIND_TRIANGLE, KIND_NONE).astype(jnp.int32),
+        prim=prim,
+        u=u,
+        v=v,
+        backface=det < 0.0,
+        packed=jnp.where(fin, packed, -1),
+    )
+
+
+def _cols(x, kk, r):
+    """[kk*R] flat field -> [kk, R] column view."""
+    return x.reshape(kk, r)
+
+
 def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
                             bounce, spec, steps, sel0):
     """Opacity-partitioned stochastic alpha walk (device_scene.partitioned):
@@ -454,8 +626,9 @@ def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
     # still drives the miss/background bookkeeping below.
     walk_active = walking & _hits_transparent_bounds(scene, o, d, t_op)
 
-    def run_walk(o, d, pixel_ids, walking, t_op):
-        rc = o.shape[0]
+    def cast_step(o, d, pixel_ids, t_op):
+        """(cond, step) of the per-iteration CAST walk — the non-dense
+        chunked walk, and the dense residual past the precompute cap."""
 
         def cond(carry):
             k, sel, seen, accepted, t_prev, active = carry
@@ -474,7 +647,8 @@ def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
                 rows=None if spec.differentiable else walk_row)
             stride = rng.site_layout(steps)[3]
             rnd = rng.uniform(pixel_ids, sample_id,
-                              rng.SITE_ALPHA + k + stride * bounce, spec.seed)
+                              rng.SITE_ALPHA + k + stride * bounce,
+                              spec.seed)
             accept = (op >= 1.0) | ((op > ALPHA_MIN_OPACITY) & (rnd < op))
             sel = HitRecord(*[jnp.where(found, h, s)
                               for h, s in zip(hit, sel)])
@@ -484,25 +658,97 @@ def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
             t_prev = jnp.where(active, hit.t, t_prev)
             return (k + 1, sel, seen, accepted, t_prev, active)
 
-        sel_init = HitRecord(*[x[:rc] for x in sel0])
-        init = (jnp.int32(0), sel_init, jnp.zeros((rc,), jnp.bool_),
-                jnp.zeros((rc,), jnp.bool_),
-                jnp.full((rc,), -1.0, jnp.float32), walking)
-        _, sel, seen, accepted, _, _ = jax.lax.while_loop(cond, step, init)
-        return sel, seen, accepted
+        return cond, step
 
-    n_chunks = _walk_chunks(r)
-    if n_chunks == 1:
-        sel, seen_tr, accepted = jax.lax.stop_gradient(
-            run_walk(o, d, pixel_ids, walk_active, t_op))
+    dense = _use_dense_tr(scene)
+    if dense:
+        # DENSE COLUMN WALK: one producer pass yields every candidate hit's
+        # full record AND opacity up front (one kernel launch + batched
+        # gathers); the walk itself is a statically-unrolled column loop of
+        # pure vector math — no casts, no gathers, no chunking. Lanes that
+        # reject all kk precomputed hits continue in the exact cast
+        # residual (rare: kk covers the measured max crossings).
+        kk = _dense_k(scene, steps)
+
+        def produce(o, d, act, t_op):
+            ts, pos = _dense_tr_hits(scene, o, d, steps, act, t_max=t_op)
+            hit = _dense_hit_columns(scene, o, d, ts, pos)
+            walk_row = _tri_attr(scene, hit)
+            model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
+            op = texturing.sample_opacity(
+                scene, model, uv, simple,
+                rows=None if spec.differentiable else walk_row)
+            return tuple(hit) + (op,)
+
+        # All-inactive wavefronts (sky tiles) skip the producer + its
+        # gathers entirely — matching the cast path's zero cost there.
+        flat = jax.lax.stop_gradient(jax.lax.cond(
+            jnp.any(walk_active),
+            produce,
+            lambda o, d, a, t: (jnp.full((kk * r,), jnp.inf, jnp.float32),
+                                jnp.zeros((kk * r,), jnp.int32),
+                                jnp.zeros((kk * r,), jnp.int32),
+                                jnp.zeros((kk * r,), jnp.float32),
+                                jnp.zeros((kk * r,), jnp.float32),
+                                jnp.zeros((kk * r,), jnp.bool_),
+                                jnp.full((kk * r,), -1, jnp.int32),
+                                jnp.zeros((kk * r,), jnp.float32)),
+            o, d, walk_active, t_op))
+        hcols = HitRecord(*[_cols(x, kk, r) for x in flat[:7]])
+        op_cols = _cols(flat[7], kk, r)
+
+        sel = sel0
+        seen_tr = jnp.zeros((r,), jnp.bool_)
+        accepted = jnp.zeros((r,), jnp.bool_)
+        t_prev = jnp.full((r,), -1.0, jnp.float32)
+        active = walk_active
+        stride = rng.site_layout(steps)[3]
+        for k in range(kk):
+            hit = HitRecord(*[f[k] for f in hcols])
+            found = active & hit.valid & (hit.t < t_op)
+            rnd = rng.uniform(pixel_ids, sample_id,
+                              rng.SITE_ALPHA + k + stride * bounce,
+                              spec.seed)
+            op = op_cols[k]
+            accept = (op >= 1.0) | ((op > ALPHA_MIN_OPACITY) & (rnd < op))
+            sel = HitRecord(*[jnp.where(found, h, s)
+                              for h, s in zip(hit, sel)])
+            seen_tr = seen_tr | found
+            accepted = accepted | (found & accept)
+            active = found & ~accept
+            t_prev = jnp.where(active, hit.t, t_prev)
+        if kk < steps:
+            condf, stepf = cast_step(o, d, pixel_ids, t_op)
+            _, sel, seen_tr, accepted, _, _ = jax.lax.while_loop(
+                condf, stepf,
+                (jnp.int32(kk), sel, seen_tr, accepted, t_prev, active))
+        sel = jax.lax.stop_gradient(sel)
+        seen_tr = jax.lax.stop_gradient(seen_tr)
+        accepted = jax.lax.stop_gradient(accepted)
     else:
-        ch = lambda x: x.reshape(n_chunks, r // n_chunks, *x.shape[1:])
-        sel, seen_tr, accepted = jax.lax.stop_gradient(jax.lax.map(
-            lambda args: run_walk(*args),
-            (ch(o), ch(d), ch(pixel_ids), ch(walk_active), ch(t_op))))
-        sel = HitRecord(*[x.reshape(r, *x.shape[2:]) for x in sel])
-        seen_tr = seen_tr.reshape(r)
-        accepted = accepted.reshape(r)
+        def run_walk(o, d, pixel_ids, walking, t_op):
+            rc = o.shape[0]
+            sel_init = HitRecord(*[x[:rc] for x in sel0])
+            condf, stepf = cast_step(o, d, pixel_ids, t_op)
+            init = (jnp.int32(0), sel_init, jnp.zeros((rc,), jnp.bool_),
+                    jnp.zeros((rc,), jnp.bool_),
+                    jnp.full((rc,), -1.0, jnp.float32), walking)
+            _, sel, seen, accepted, _, _ = jax.lax.while_loop(condf, stepf,
+                                                              init)
+            return sel, seen, accepted
+
+        n_chunks = _walk_chunks(r)
+        if n_chunks == 1:
+            sel, seen_tr, accepted = jax.lax.stop_gradient(
+                run_walk(o, d, pixel_ids, walk_active, t_op))
+        else:
+            ch = lambda x: x.reshape(n_chunks, r // n_chunks, *x.shape[1:])
+            sel, seen_tr, accepted = jax.lax.stop_gradient(jax.lax.map(
+                lambda a: run_walk(*a),
+                (ch(o), ch(d), ch(pixel_ids), ch(walk_active), ch(t_op))))
+            sel = HitRecord(*[x.reshape(r, *x.shape[2:]) for x in sel])
+            seen_tr = seen_tr.reshape(r)
+            accepted = accepted.reshape(r)
 
     op_found = walking & hit_op.valid
     use_op = op_found & ~accepted
@@ -577,9 +823,10 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
     color_nonzero = jnp.sum(jnp.abs(att0), axis=-1) != 0.0
     r = s_o.shape[0]
 
-    def run_walk(s_o, s_d, walking0, point_dist, surf_pos, orig_uv,
-                 orig_simple):
-        rc = s_o.shape[0]
+    walking0 = active & color_nonzero
+
+    def cast_step(s_o, s_d, point_dist, surf_pos, orig_uv, orig_simple):
+        """(cond, step) of the per-iteration CAST transmittance walk."""
 
         def cond(carry):
             k, trans, t_prev, walking = carry
@@ -595,13 +842,14 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
             walk_row = _tri_attr(scene, hit)
             model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
             if point_dist is not None:
-                # Behind-the-light cutoff measured from the ORIGINAL surface.
+                # Behind-the-light cutoff measured from the ORIGINAL
+                # surface.
                 occ_pos = s_o + s_d * jnp.where(
                     jnp.isfinite(hit.t), hit.t, 0.0)[:, None]
                 occ_dist = jnp.linalg.norm(occ_pos - surf_pos, axis=-1)
                 behind = occ_dist > point_dist
                 found = found & ~behind
-                uv, simple = orig_uv, orig_simple  # original hit's UV/type
+                uv, simple = orig_uv, orig_simple  # original hit UV/type
             op = texturing.sample_opacity(
                 scene, model, uv, simple,
                 rows=None if spec.differentiable else walk_row)
@@ -610,28 +858,92 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
             t_prev = jnp.where(walking, hit.t, t_prev)
             return (k + 1, trans, t_prev, walking)
 
-        init = (jnp.int32(0), jnp.ones((rc,), jnp.float32),
-                jnp.full((rc,), -1.0, jnp.float32), walking0)
-        _, trans, _, _ = jax.lax.while_loop(cond, step, init)
-        return trans
+        return cond, step
 
-    walking0 = active & color_nonzero
-    n_chunks = _walk_chunks(r) if part else 1
-    if n_chunks == 1:
-        trans = jax.lax.stop_gradient(run_walk(
-            s_o, s_d, walking0, point_dist, surf_pos,
-            None if orig_model_uv is None else orig_model_uv[0],
-            None if orig_model_uv is None else orig_model_uv[1]))
+    dense = part and _use_dense_tr(scene)
+    if dense:
+        # Dense column walk (see _alpha_walk_partitioned): producer pass +
+        # batched opacity precompute, then a statically-unrolled product
+        # over the kk columns; exact cast residual past the cap.
+        kk = _dense_k(scene, steps)
+
+        def produce(s_o, s_d, act):
+            ts, pos = _dense_tr_hits(scene, s_o, s_d, steps, act,
+                                     t_max=t_pre)
+            hit = _dense_hit_columns(scene, s_o, s_d, ts, pos)
+            walk_row = _tri_attr(scene, hit)
+            model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
+            if point_dist is not None:
+                # Original hit's UV/type with the occluder's material
+                # (mod.rs:324 quirk), tiled over the kk columns.
+                rep = lambda x: jnp.concatenate([x] * kk, axis=0)
+                uv, simple = rep(orig_model_uv[0]), rep(orig_model_uv[1])
+            op = texturing.sample_opacity(
+                scene, model, uv, simple,
+                rows=None if spec.differentiable else walk_row)
+            return hit.t, op
+
+        tcols, opcols = jax.lax.stop_gradient(jax.lax.cond(
+            jnp.any(walking0),
+            produce,
+            lambda a, b, c: (jnp.full((kk * r,), jnp.inf, jnp.float32),
+                             jnp.zeros((kk * r,), jnp.float32)),
+            s_o, s_d, walking0))
+        tcols = _cols(tcols, kk, r)
+        opcols = _cols(opcols, kk, r)
+
+        trans = jnp.ones((r,), jnp.float32)
+        t_prev = jnp.full((r,), -1.0, jnp.float32)
+        walking = walking0
+        for k in range(kk):
+            tk = tcols[k]
+            found = walking & jnp.isfinite(tk)
+            if point_dist is not None:
+                occ_pos = s_o + s_d * jnp.where(
+                    jnp.isfinite(tk), tk, 0.0)[:, None]
+                occ_dist = jnp.linalg.norm(occ_pos - surf_pos, axis=-1)
+                found = found & ~(occ_dist > point_dist)
+            trans = jnp.where(found, trans * (1.0 - opcols[k]), trans)
+            walking = found & (trans != 0.0)
+            t_prev = jnp.where(walking, tk, t_prev)
+        if kk < steps:
+            condf, stepf = cast_step(
+                s_o, s_d, point_dist, surf_pos,
+                None if orig_model_uv is None else orig_model_uv[0],
+                None if orig_model_uv is None else orig_model_uv[1])
+            _, trans, _, _ = jax.lax.while_loop(
+                condf, stepf, (jnp.int32(kk), trans, t_prev, walking))
+        trans = jax.lax.stop_gradient(trans)
     else:
-        ch = lambda x: x.reshape(n_chunks, r // n_chunks, *x.shape[1:])
-        if point_dist is None:
-            args = (ch(s_o), ch(s_d), ch(walking0))
-            fn = lambda a: run_walk(*a, None, None, None, None)
+        def run_walk(s_o, s_d, walking0, point_dist, surf_pos, orig_uv,
+                     orig_simple):
+            rc = s_o.shape[0]
+            condf, stepf = cast_step(s_o, s_d, point_dist, surf_pos,
+                                     orig_uv, orig_simple)
+            init = (jnp.int32(0), jnp.ones((rc,), jnp.float32),
+                    jnp.full((rc,), -1.0, jnp.float32), walking0)
+            _, trans, _, _ = jax.lax.while_loop(condf, stepf, init)
+            return trans
+
+        n_chunks = _walk_chunks(r) if part else 1
+        if n_chunks == 1:
+            trans = jax.lax.stop_gradient(run_walk(
+                s_o, s_d, walking0, point_dist, surf_pos,
+                None if orig_model_uv is None else orig_model_uv[0],
+                None if orig_model_uv is None else orig_model_uv[1]))
         else:
-            args = (ch(s_o), ch(s_d), ch(walking0), ch(point_dist),
-                    ch(surf_pos), ch(orig_model_uv[0]), ch(orig_model_uv[1]))
-            fn = lambda a: run_walk(*a)
-        trans = jax.lax.stop_gradient(jax.lax.map(fn, args)).reshape(r)
+            ch = lambda x: x.reshape(n_chunks, r // n_chunks,
+                                     *x.shape[1:])
+            if point_dist is None:
+                args = (ch(s_o), ch(s_d), ch(walking0))
+                fn = lambda a: run_walk(*a, None, None, None, None)
+            else:
+                args = (ch(s_o), ch(s_d), ch(walking0), ch(point_dist),
+                        ch(surf_pos), ch(orig_model_uv[0]),
+                        ch(orig_model_uv[1]))
+                fn = lambda a: run_walk(*a)
+            trans = jax.lax.stop_gradient(
+                jax.lax.map(fn, args)).reshape(r)
     att = att0 * trans[:, None]
     if part:
         att = jnp.where(blocked[:, None], 0.0, att)
@@ -681,8 +993,10 @@ def _shadow_attenuation_multi(scene, s_o, dirs, actives, colors, spec, steps,
     walking0 = walking0 & _hits_transparent_bounds(
         scene, o3, d3, pd3 * 1.0001 + 1e-3)
 
-    def run_walk(s_o, s_d, walking0, pd, is_pt, surf_pos, ouv, osimple):
-        rc = s_o.shape[0]
+    n = L * r
+
+    def cast_step(s_o, s_d, pd, is_pt, surf_pos, ouv, osimple):
+        """(cond, step) of the per-iteration stacked CAST walk."""
 
         def cond(carry):
             k, trans, t_prev, walking = carry
@@ -710,20 +1024,77 @@ def _shadow_attenuation_multi(scene, s_o, dirs, actives, colors, spec, steps,
             t_prev = jnp.where(walking, hit.t, t_prev)
             return (k + 1, trans, t_prev, walking)
 
-        init = (jnp.int32(0), jnp.ones((rc,), jnp.float32),
-                jnp.full((rc,), -1.0, jnp.float32), walking0)
-        _, trans, _, _ = jax.lax.while_loop(cond, step, init)
-        return trans
+        return cond, step
 
-    n = L * r
-    n_chunks = _walk_chunks(n)
-    args = (o3, d3, walking0, pd3, is_pt, sp3, ouv3, osimple3)
-    if n_chunks == 1:
-        trans3 = jax.lax.stop_gradient(run_walk(*args))
+    dense = _use_dense_tr(scene)
+    if dense:
+        # Dense column walk over the stacked [L*R] wavefront (see
+        # _alpha_walk_partitioned): one producer pass + batched opacity
+        # precompute, unrolled column product, exact cast residual.
+        kk = _dense_k(scene, steps)
+
+        def produce(o3, d3, act):
+            ts, pos = _dense_tr_hits(scene, o3, d3, steps, act,
+                                     t_max=pd3 * 1.0001 + 1e-3)
+            hit = _dense_hit_columns(scene, o3, d3, ts, pos)
+            walk_row = _tri_attr(scene, hit)
+            model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
+            rep = lambda x: jnp.concatenate([x] * kk, axis=0)
+            uv = jnp.where(rep(is_pt)[:, None], rep(ouv3), uv)
+            simple = jnp.where(rep(is_pt), rep(osimple3), simple)
+            op = texturing.sample_opacity(
+                scene, model, uv, simple,
+                rows=None if spec.differentiable else walk_row)
+            return hit.t, op
+
+        tcols, opcols = jax.lax.stop_gradient(jax.lax.cond(
+            jnp.any(walking0),
+            produce,
+            lambda a, b, c: (jnp.full((kk * n,), jnp.inf, jnp.float32),
+                             jnp.zeros((kk * n,), jnp.float32)),
+            o3, d3, walking0))
+        tcols = _cols(tcols, kk, n)
+        opcols = _cols(opcols, kk, n)
+
+        trans3 = jnp.ones((n,), jnp.float32)
+        t_prev = jnp.full((n,), -1.0, jnp.float32)
+        walking = walking0
+        for k in range(kk):
+            tk = tcols[k]
+            found = walking & jnp.isfinite(tk)
+            occ_pos = o3 + d3 * jnp.where(jnp.isfinite(tk), tk, 0.0)[:, None]
+            occ_dist = jnp.linalg.norm(occ_pos - sp3, axis=-1)
+            found = found & ~(is_pt & (occ_dist > pd3))
+            trans3 = jnp.where(found, trans3 * (1.0 - opcols[k]), trans3)
+            walking = found & (trans3 != 0.0)
+            t_prev = jnp.where(walking, tk, t_prev)
+        if kk < steps:
+            condf, stepf = cast_step(o3, d3, pd3, is_pt, sp3, ouv3,
+                                     osimple3)
+            _, trans3, _, _ = jax.lax.while_loop(
+                condf, stepf, (jnp.int32(kk), trans3, t_prev, walking))
+        trans3 = jax.lax.stop_gradient(trans3)
     else:
-        ch = lambda x: x.reshape(n_chunks, n // n_chunks, *x.shape[1:])
-        trans3 = jax.lax.stop_gradient(jax.lax.map(
-            lambda a: run_walk(*a), tuple(ch(x) for x in args))).reshape(n)
+        def run_walk(s_o, s_d, walking0, pd, is_pt, surf_pos, ouv,
+                     osimple):
+            rc = s_o.shape[0]
+            condf, stepf = cast_step(s_o, s_d, pd, is_pt, surf_pos, ouv,
+                                     osimple)
+            init = (jnp.int32(0), jnp.ones((rc,), jnp.float32),
+                    jnp.full((rc,), -1.0, jnp.float32), walking0)
+            _, trans, _, _ = jax.lax.while_loop(condf, stepf, init)
+            return trans
+
+        n_chunks = _walk_chunks(n)
+        args = (o3, d3, walking0, pd3, is_pt, sp3, ouv3, osimple3)
+        if n_chunks == 1:
+            trans3 = jax.lax.stop_gradient(run_walk(*args))
+        else:
+            ch = lambda x: x.reshape(n_chunks, n // n_chunks,
+                                     *x.shape[1:])
+            trans3 = jax.lax.stop_gradient(jax.lax.map(
+                lambda a: run_walk(*a),
+                tuple(ch(x) for x in args))).reshape(n)
 
     outs = []
     for i in range(L):

@@ -172,6 +172,94 @@ def test_partitioned_render_matches_generic_differentiable(mixed_scene,
         (float(ga), float(gb))
 
 
+def test_khit_kernel_matches_jnp_producer(mixed_scene):
+    """k_nearest_tr_hits (interpret mode) vs the jnp matrix producer: both
+    must emit the SAME (ts, pos) contract — ascending t, strict-duplicate
+    skipping, +inf past the end, lowest-index ties — and the kernel's
+    per-group t_max pruning may only drop hits beyond t_max."""
+    from path_tracer_tpu.models.integrator import _dense_tr_hits
+    from path_tracer_tpu.ops.pallas_intersect import k_nearest_tr_hits
+
+    s = mixed_scene
+    r = 512
+    o, d = _rays(s, r, 3)
+    act = jnp.ones((r,), jnp.bool_)
+    K = 4
+    ts_k, pos_k = k_nearest_tr_hits(o, d, act, s, K, interpret=True)
+    ts_j, pos_j = _dense_tr_hits(s, o, d, K, act)
+    tk, tj = np.asarray(ts_k), np.asarray(ts_j)
+    fin_k, fin_j = np.isfinite(tk), np.isfinite(tj)
+    assert fin_j.any()
+    # Interpret-mode vs compiled-CPU lowering differ by FMA contraction —
+    # last-ulp t noise, so tolerance (not equality) on t; an ulp swap of
+    # two near-equal hits can flip pos order on a handful of entries.
+    np.testing.assert_array_equal(fin_k, fin_j)
+    np.testing.assert_allclose(tk[fin_k], tj[fin_j], rtol=1e-6)
+    pos_match = (np.asarray(pos_k)[fin_k] == np.asarray(pos_j)[fin_j])
+    assert pos_match.mean() >= 0.99, pos_match.mean()
+    # t_max pruning (kernel vs SAME kernel, exact): nothing reachable lost,
+    # nothing invented.
+    tmax = jnp.full((r,), 14.0)
+    ts_m, _ = k_nearest_tr_hits(o, d, act, s, K, t_max=tmax, interpret=True)
+    tsm = np.asarray(ts_m)
+    for i in range(r):
+        a = set(tsm[:, i][np.isfinite(tsm[:, i])].tolist())
+        b = tk[:, i][fin_k[:, i]]
+        assert a >= set(b[b <= 14.0].tolist())
+        assert a <= set(b.tolist())
+
+
+def test_dense_residual_cast_fallback(mixed_scene, monkeypatch):
+    """With the precompute cap forced to 1 column, walks deeper than one
+    transparent hit continue through the cast residual. The handoff mixes
+    two MT lowerings, so a last-ulp t difference at the boundary can
+    re-visit/skip one hit (same class as the gated flat2 BW-vs-MT
+    divergence) — bound the RATE and magnitude rather than demand bit
+    parity (measured: max 1.5e-3, 0.2% of pixels > 1e-5). In real scenes
+    the residual never runs (the K=6 default covers the measured max of 4
+    productive crossings)."""
+    W, H = 48, 32
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    spec = IntegratorSpec(bounces=2, differentiable=False)
+    a = np.asarray(render_wavefront(mixed_scene, ids, W, H, jnp.int32(1),
+                                    spec))
+    monkeypatch.setenv("PT_DENSE_TR_K", "1")
+    b = np.asarray(render_wavefront(mixed_scene, ids, W, H, jnp.int32(1),
+                                    spec))
+    d = np.abs(a - b)
+    assert d.max() <= 1e-2, d.max()
+    assert d.mean() <= 1e-5, d.mean()
+    assert (d > 1e-5).mean() <= 1e-2, (d > 1e-5).mean()
+
+
+def test_dense_tr_walk_matches_cast_walk(mixed_scene, monkeypatch):
+    """The dense transparent-set walk (one fused MT matrix per chunk +
+    argmin iterations — integrator._dense_tr_walker) is value-identical to
+    the per-iteration transparent CAST walk it replaces: same strict
+    t > t_prev advance, same MT math, same RNG sites. Unlike the
+    partitioned-vs-generic test this one needs NO tie tolerance — both
+    forms walk the same transparent subset in the same order."""
+    from path_tracer_tpu.models.integrator import _use_dense_tr
+
+    assert _use_dense_tr(mixed_scene)
+    W, H = 64, 36
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    spec = IntegratorSpec(bounces=3, differentiable=False)
+    a = np.asarray(render_wavefront(mixed_scene, ids, W, H, jnp.int32(1),
+                                    spec))
+    monkeypatch.setenv("PT_NO_DENSE_TR", "1")
+    assert not _use_dense_tr(mixed_scene)
+    b = np.asarray(render_wavefront(mixed_scene, ids, W, H, jnp.int32(1),
+                                    spec))
+    # The dense walker recomputes the selected hit's u/v per-ray (the matrix
+    # pass keeps only t), so ~0.5% of pixels differ at the last-ulp level
+    # (measured max 8e-8). A REAL divergence — a visit-order or RNG-site
+    # flip — moves a pixel by O(0.1), so the max bound is the gate.
+    diff = np.abs(a - b)
+    assert diff.max() <= 1e-5, diff.max()
+    assert diff.mean() <= 1e-7, diff.mean()
+
+
 def test_flat2_on_partitioned_tables_interpret(mixed_scene):
     """flat2 addresses triangle windows by BLOCK ID from the bid table, not
     by column position — the opacity partition leaves a 128-aligned column
