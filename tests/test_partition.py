@@ -281,3 +281,75 @@ def test_flat2_on_partitioned_tables_interpret(mixed_scene):
     # Some hits must land in the TRANSPARENT range for the gap to matter.
     hits = np.asarray(ref.prim)[np.isfinite(np.asarray(ref.t))]
     assert (hits >= s.n_tris_opaque).any()
+
+
+@pytest.fixture(scope="module")
+def many_cluster_scene():
+    """46 transparent clusters scattered on a 500-unit plane + opaque floor:
+    more clusters than the 32 tr_prefilter slots, so the overflow-union path
+    (device_scene.py: leaves past 31 union into slot 31) is exercised."""
+    from path_tracer_tpu.scene import isf
+    from path_tracer_tpu.scene.device_scene import build_device_scene
+    from path_tracer_tpu.scene.procedural import _camera, _mat, _quad
+
+    rng = np.random.default_rng(3)
+    models = [isf.Mesh(
+        triangles=_quad((-260, 0, 260), (260, 0, 260), (260, 0, -260),
+                        (-260, 0, -260), (0, 1, 0)),
+        material=_mat(albedo=(0.6, 0.6, 0.6)))]
+    for i in range(46):
+        x, z = rng.uniform(-250, 250, 2)
+        models.append(isf.Mesh(
+            triangles=_quad((x - 1, 0.5, z), (x + 1, 0.5, z),
+                            (x + 1, 2.5, z), (x - 1, 2.5, z), (0, 0, 1)),
+            material=_mat(albedo=(0.2, 0.7, 0.3), opacity=0.4)))
+    scene = isf.Scene(
+        models=models,
+        camera=_camera(pos=(0.0, 30.0, 300.0), fov_deg=70.0),
+        lights=[isf.DirectionalLight(direction=(0.3, -1.0, -0.4),
+                                     color=(2.0, 2.0, 2.0)),
+                isf.PointLight(position=(0.0, 60.0, 0.0),
+                               color=(9e4, 9e4, 9e4))],
+        background=(0.2, 0.3, 0.5),
+    )
+    return build_device_scene(scene, root=".", use_bvh=True)
+
+
+def test_prefilter_covers_all_transparent_tris_at_cap(many_cluster_scene):
+    """With >32 scattered clusters the prefilter boxes must still cover
+    EVERY transparent triangle (coverage completeness is what makes the
+    prefilter conservative — a dropped cluster would silently skip walks
+    and leak light through its foliage)."""
+    s = many_cluster_scene
+    assert partitioned(s)
+    n_tr = s.num_real_triangles - s.n_tris_opaque
+    assert n_tr == 92  # 46 quads
+    boxes = np.asarray(s.tr_prefilter)
+    real = boxes[boxes[:, 0] < 1e29]
+    assert 2 <= len(real) <= 32
+    v0 = np.asarray(s.tri_v0[s.n_tris_opaque:s.num_real_triangles])
+    e1 = np.asarray(s.tri_e1[s.n_tris_opaque:s.num_real_triangles])
+    e2 = np.asarray(s.tri_e2[s.n_tris_opaque:s.num_real_triangles])
+    for verts in (v0, v0 + e1, v0 + e2):
+        inside = ((verts[:, None, :] >= real[None, :, 0:3] - 1e-4)
+                  & (verts[:, None, :] <= real[None, :, 3:6] + 1e-4))
+        assert inside.all(axis=-1).any(axis=-1).all(), \
+            "a transparent vertex is outside every prefilter box"
+
+
+def test_many_cluster_render_matches_generic(many_cluster_scene, monkeypatch):
+    """Full-integrator parity at the prefilter cap: the partitioned walks
+    (with the 32-box prefilter active and slot 31 holding an overflow
+    union) must reproduce the generic unpartitioned walk."""
+    s = many_cluster_scene
+    W, H = 64, 36
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    spec = IntegratorSpec(bounces=2, differentiable=False)
+    assert partitioned(s)
+    a = np.asarray(render_wavefront(s, ids, W, H, jnp.int32(1), spec))
+    monkeypatch.setenv("PT_NO_PARTITION", "1")
+    assert not partitioned(s)
+    b = np.asarray(render_wavefront(s, ids, W, H, jnp.int32(1), spec))
+    diff = np.abs(a - b)
+    assert diff.max() <= 1e-4, diff.max()
+    assert diff.mean() <= 1e-7, diff.mean()

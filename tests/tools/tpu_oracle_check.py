@@ -25,7 +25,12 @@ REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
 
 DEFAULT_CASES = ("cube", "head", "spheres", "alpha_transparency",
-                 "cube_rr_b6", "showcase_tex", "glb_converted_512")
+                 "cube_rr_b6", "showcase_tex", "glb_converted_512",
+                 # VERDICT r3 weak #5: the mirror path (metal=1 rough=0) and
+                 # the furnace energy-conservation scenes must be verified
+                 # with the COMPILED kernels too, not only on CPU.
+                 "reflection", "white_furnace_direct",
+                 "white_furnace_indirect")
 
 
 def main(cases) -> int:
