@@ -457,6 +457,42 @@ def _use_dense_tr(scene) -> bool:
     return not _on_tpu()
 
 
+def _use_tr_kernel(scene, spec) -> bool:
+    """Static gate for the FUSED in-kernel transparent walks
+    (ops/pallas_trwalk.py): the whole bounded walk — candidate search,
+    uv interpolation, opacity texel fetch, accept/transmittance update —
+    runs inside ONE Pallas launch per walk, per 256-ray tile. Replaces the
+    chunked XLA cast walks whose floor was per-chunk launch overhead plus
+    per-iteration row/atlas gathers (PERF.md round 3). Scene preconditions
+    are checked at build (DeviceScene.tr_kernel_ok). PT_NO_TRWALK_KERNEL=1
+    forces the XLA walks (A/B + parity testing); on CPU the kernel runs in
+    interpret mode (slow) only when PT_TRWALK_INTERPRET=1 (parity tests).
+    """
+    import os
+
+    if os.environ.get("PT_NO_TRWALK_KERNEL") == "1":
+        return False
+    if not getattr(scene, "tr_kernel_ok", False):
+        return False
+    # Training mode (spec.differentiable): the kernels read a LIVE opacity-
+    # factor row (rebuilt per dispatch from mat_opacity_factor, so factor
+    # training stays value-correct), but the opacity TEXTURE plane is the
+    # build-time quantized one — like every acceleration table (BVH, baked
+    # sl_attr), the atlas is part of the built scene: training tex_data
+    # requires PT_NO_TRWALK_KERNEL=1 for live-texel walk values (gradients
+    # w.r.t. tex_data are unaffected either way — walks are detached
+    # discrete events in both paths).
+    from path_tracer_tpu.ops.intersect import _on_tpu
+
+    return _on_tpu() or os.environ.get("PT_TRWALK_INTERPRET") == "1"
+
+
+def _tr_kernel_interpret() -> bool:
+    from path_tracer_tpu.ops.intersect import _on_tpu
+
+    return not _on_tpu()
+
+
 def _dense_tr_hits(scene, o, d, steps, active, t_max=None):
     """(ts, pos) [min(steps,T), R]: each ray's `steps` nearest transparent
     hits, produced up front for a FULL wavefront in one pass: on TPU by ONE
@@ -660,6 +696,62 @@ def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
 
         return cond, step
 
+    if _use_tr_kernel(scene, spec):
+        # FUSED IN-KERNEL WALK (ops/pallas_trwalk.py): the whole bounded
+        # stochastic walk runs inside one Pallas launch, per-256-tile
+        # iteration counts, zero per-iteration launches/gathers. Lanes
+        # still active past the kernel's static step cap continue in the
+        # exact cast residual below (same pattern as the dense path).
+        from path_tracer_tpu.ops import pallas_trwalk as twk
+
+        kcap = min(steps, twk.TRWALK_K)
+        stride = rng.site_layout(steps)[3]
+        rnd = jnp.stack(
+            [rng.uniform(pixel_ids, sample_id,
+                         rng.SITE_ALPHA + k + stride * bounce, spec.seed)
+             for k in range(kcap)], axis=0)
+        t_op_enc = jnp.where(walk_active, t_op, -1.0)
+
+        def run_kernel(o, d, t_op_enc, rnd):
+            return twk.alpha_walk_kernel(
+                scene, o, d, t_op_enc, rnd, kcap,
+                interpret=_tr_kernel_interpret(),
+                live_factor=spec.differentiable)
+
+        def no_hits(o, d, t_op_enc, rnd):
+            z = jnp.zeros((r,), jnp.float32)
+            f = jnp.zeros((r,), jnp.bool_)
+            return (jnp.full((r,), jnp.inf, jnp.float32),
+                    jnp.full((r,), -1, jnp.int32), z, z, f, f, f, f,
+                    jnp.full((r,), -1.0, jnp.float32))
+
+        (sel_t, sel_packed, sel_u, sel_v, sel_bf, seen_tr, accepted,
+         still, t_prev) = jax.lax.stop_gradient(jax.lax.cond(
+            jnp.any(walk_active), run_kernel, no_hits,
+            o, d, t_op_enc, rnd))
+        prim = scene.sl_map[jnp.maximum(sel_packed, 0)]
+        sel = HitRecord(
+            t=sel_t,
+            kind=jnp.where(sel_packed >= 0, KIND_TRIANGLE, 0).astype(
+                jnp.int32),
+            prim=jnp.where(sel_packed >= 0, prim, 0),
+            u=sel_u, v=sel_v, backface=sel_bf, packed=sel_packed)
+        if kcap < steps:
+            condf, stepf = cast_step(o, d, pixel_ids, t_op)
+            _, sel, seen_tr, accepted, _, _ = jax.lax.while_loop(
+                condf, stepf,
+                (jnp.int32(kcap), sel, seen_tr, accepted, t_prev, still))
+        sel = jax.lax.stop_gradient(sel)
+        seen_tr = jax.lax.stop_gradient(seen_tr)
+        accepted = jax.lax.stop_gradient(accepted)
+        op_found = walking & hit_op.valid
+        use_op = op_found & ~accepted
+        sel = HitRecord(*[jnp.where(use_op, h, s)
+                          for h, s in zip(hit_op, sel)])
+        seen_any = seen_tr | op_found
+        first_missed = walking & ~seen_any
+        return jax.lax.stop_gradient(sel), seen_any, first_missed
+
     dense = _use_dense_tr(scene)
     if dense:
         # DENSE COLUMN WALK: one producer pass yields every candidate hit's
@@ -860,6 +952,46 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
 
         return cond, step
 
+    if part and _use_tr_kernel(scene, spec):
+        # Fused in-kernel transmittance walk (single light set; the multi-
+        # light caller batches through _shadow_attenuation_multi instead).
+        from path_tracer_tpu.ops import pallas_trwalk as twk
+
+        kcap = min(steps, twk.TRWALK_K)
+        pd1 = (jnp.full((r,), jnp.inf, jnp.float32) if point_dist is None
+               else point_dist)
+        ispt1 = jnp.full((r,), point_dist is not None)
+        sp1 = s_o if surf_pos is None else surf_pos
+        ouv1 = (jnp.zeros((r, 2), jnp.float32) if orig_model_uv is None
+                else orig_model_uv[0])
+        osim1 = (jnp.zeros((r,), jnp.bool_) if orig_model_uv is None
+                 else orig_model_uv[1])
+
+        def run_kernel(s_o, s_d, pd1, ispt1, sp1, ouv1, osim1, w0):
+            return twk.trans_walk_kernel(
+                scene, s_o, s_d, pd1, ispt1, sp1, ouv1, osim1, w0,
+                kcap, interpret=_tr_kernel_interpret(),
+                live_factor=spec.differentiable)
+
+        def no_walk(s_o, s_d, pd1, ispt1, sp1, ouv1, osim1, w0):
+            return (jnp.ones((r,), jnp.float32),
+                    jnp.full((r,), -1.0, jnp.float32),
+                    jnp.zeros((r,), jnp.bool_))
+
+        trans, t_prev1, still1 = jax.lax.stop_gradient(jax.lax.cond(
+            jnp.any(walking0), run_kernel, no_walk,
+            s_o, s_d, pd1, ispt1, sp1, ouv1, osim1, walking0))
+        if kcap < steps:
+            condf, stepf = cast_step(
+                s_o, s_d, point_dist, surf_pos,
+                None if orig_model_uv is None else orig_model_uv[0],
+                None if orig_model_uv is None else orig_model_uv[1])
+            _, trans, _, _ = jax.lax.while_loop(
+                condf, stepf, (jnp.int32(kcap), trans, t_prev1, still1))
+            trans = jax.lax.stop_gradient(trans)
+        att = att0 * trans[:, None]
+        return jnp.where(blocked[:, None], 0.0, att)
+
     dense = part and _use_dense_tr(scene)
     if dense:
         # Dense column walk (see _alpha_walk_partitioned): producer pass +
@@ -1025,6 +1157,40 @@ def _shadow_attenuation_multi(scene, s_o, dirs, actives, colors, spec, steps,
             return (k + 1, trans, t_prev, walking)
 
         return cond, step
+
+    if _use_tr_kernel(scene, spec):
+        # Fused in-kernel transmittance walk over the stacked [L*R] lanes
+        # (ops/pallas_trwalk.py); exact cast residual past the step cap.
+        from path_tracer_tpu.ops import pallas_trwalk as twk
+
+        kcap = min(steps, twk.TRWALK_K)
+
+        def run_kernel(o3, d3, pd3, is_pt, sp3, ouv3, osimple3, walking0):
+            return twk.trans_walk_kernel(
+                scene, o3, d3, pd3, is_pt, sp3, ouv3, osimple3, walking0,
+                kcap, interpret=_tr_kernel_interpret(),
+                live_factor=spec.differentiable)
+
+        def no_walk(o3, d3, pd3, is_pt, sp3, ouv3, osimple3, walking0):
+            return (jnp.ones((n,), jnp.float32),
+                    jnp.full((n,), -1.0, jnp.float32),
+                    jnp.zeros((n,), jnp.bool_))
+
+        trans3, t_prev3, still3 = jax.lax.stop_gradient(jax.lax.cond(
+            jnp.any(walking0), run_kernel, no_walk,
+            o3, d3, pd3, is_pt, sp3, ouv3, osimple3, walking0))
+        if kcap < steps:
+            condf, stepf = cast_step(o3, d3, pd3, is_pt, sp3, ouv3,
+                                     osimple3)
+            _, trans3, _, _ = jax.lax.while_loop(
+                condf, stepf, (jnp.int32(kcap), trans3, t_prev3, still3))
+            trans3 = jax.lax.stop_gradient(trans3)
+        outs = []
+        for i in range(L):
+            trans = trans3[i * r : (i + 1) * r]
+            att = att0s[i] * trans[:, None]
+            outs.append(jnp.where(blockeds[i][:, None], 0.0, att))
+        return outs
 
     dense = _use_dense_tr(scene)
     if dense:

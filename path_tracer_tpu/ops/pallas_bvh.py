@@ -43,6 +43,13 @@ from path_tracer_tpu.ops.intersect import (
 # (tests/tools/bounce_cast_sweep.py); 256 is the measured default.
 RAY_TILE = int(os.environ.get("PT_RAY_TILE", "256"))
 
+# Dense-visit ray-row sub-chunking (flat closest-hit kernel): 0 = whole
+# [RAY_TILE, block] visit in one pass; N = statically unrolled passes over
+# [N, block] row chunks. Probe for whether Mosaic keeps smaller per-op
+# intermediates in vector registers (the [256,512] visit measures ~27% VPU
+# efficiency, consistent with every elementwise op round-tripping VMEM).
+VISIT_ROWS = int(os.environ.get("PT_VISIT_ROWS", "0"))
+
 
 def _kernel(o_ref, d_ref, tp_ref, nodes6_ref, meta6_ref, tris_ref,
             fout_ref, iout_ref, *scratch, n_nodes: int, block: int,
@@ -563,49 +570,70 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref,
 
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
 
-        def visit_block(block_id, best):
-            """Dense [RT, block] Baldwin-Weber over one superleaf block:
+        def visit_chunk(oxc, oyc, ozc, dxc, dyc, dzc, tpc, bw, nrows):
+            """Dense [nrows, block] Baldwin-Weber over one chunk of rays:
             plane-test t = (c - o.n)/(d.n), then u/v as affine maps of the
             hit point (~20% fewer VPU ops than recomputing the MT cross
             products; d.n = -MT det so DET_EPS/backface semantics hold)."""
-            bt, bi, bu, bv, bb = best
-            start = pl.multiple_of(block_id * block, 128)
-            bw = bw_ref[:, pl.ds(start, block)]  # [12, B]
+            def cc(a):  # ray column [nrows,1]
+                return a[:, None]
 
             def tr(c):  # triangle row [1,B]
                 return bw[c, :][None, :]
 
-            dn = rc(dx) * tr(0) + rc(dy) * tr(1) + rc(dz) * tr(2)
+            dn = cc(dxc) * tr(0) + cc(dyc) * tr(1) + cc(dzc) * tr(2)
             ok = jnp.abs(dn) >= DET_EPS
             invdn = 1.0 / jnp.where(ok, dn, 1.0)
-            on = rc(ox) * tr(0) + rc(oy) * tr(1) + rc(oz) * tr(2)
+            on = cc(oxc) * tr(0) + cc(oyc) * tr(1) + cc(ozc) * tr(2)
             t = (tr(3) - on) * invdn
-            ok &= (t >= T_MIN) & (t > rc(t_prev))
+            ok &= (t >= T_MIN) & (t > cc(tpc))
 
-            hx = rc(ox) + t * rc(dx)
-            hy = rc(oy) + t * rc(dy)
-            hz = rc(oz) + t * rc(dz)
+            hx = cc(oxc) + t * cc(dxc)
+            hy = cc(oyc) + t * cc(dyc)
+            hz = cc(ozc) + t * cc(dzc)
             u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
             ok &= (u >= 0.0) & (u <= 1.0)
             v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
             ok &= (v >= 0.0) & (u + v <= 1.0)
 
             t = jnp.where(ok, t, jnp.inf)
-            tmin = jnp.min(t, axis=1)  # [RT]
+            tmin = jnp.min(t, axis=1)  # [nrows]
             col = jnp.argmin(t, axis=1).astype(jnp.int32)
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (rt, block), 1)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (nrows, block), 1)
             sel = lanes == col[:, None]
 
             def pick(arr2d):
                 return jnp.sum(jnp.where(sel, arr2d, 0.0), axis=1)
 
+            return tmin, col, pick(u), pick(v), pick(dn)
+
+        def visit_block(block_id, best):
+            """Dense [RT, block] visit, optionally as statically-unrolled
+            row chunks (PT_VISIT_ROWS; see VISIT_ROWS above)."""
+            bt, bi, bu, bv, bb = best
+            start = pl.multiple_of(block_id * block, 128)
+            bw = bw_ref[:, pl.ds(start, block)]  # [12, B]
+
+            cr = VISIT_ROWS if 0 < VISIT_ROWS < rt else rt
+            if cr == rt:
+                tmin, col, pu, pv, pdn = visit_chunk(
+                    ox, oy, oz, dx, dy, dz, t_prev, bw, rt)
+            else:
+                parts = [visit_chunk(ox[s], oy[s], oz[s], dx[s], dy[s],
+                                     dz[s], t_prev[s], bw, cr)
+                         for s in (slice(r0, r0 + cr)
+                                   for r0 in range(0, rt, cr))]
+                tmin, col, pu, pv, pdn = (
+                    jnp.concatenate([p[i] for p in parts])
+                    for i in range(5))
+
             better = tmin < bt
             bt = jnp.where(better, tmin, bt)
             bi = jnp.where(better, start + col, bi)
-            bu = jnp.where(better, pick(u), bu)
-            bv = jnp.where(better, pick(v), bv)
+            bu = jnp.where(better, pu, bu)
+            bv = jnp.where(better, pv, bv)
             # MT det = -d.n, so backface (det < 0) is d.n > 0.
-            bb = jnp.where(better, jnp.where(pick(dn) > 0.0, 1.0, 0.0), bb)
+            bb = jnp.where(better, jnp.where(pdn > 0.0, 1.0, 0.0), bb)
             return bt, bi, bu, bv, bb
 
         def next_hit(visited, bt):

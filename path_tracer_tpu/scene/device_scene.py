@@ -140,6 +140,87 @@ def _baldwin_weber_rows(sl_tris: np.ndarray) -> np.ndarray:
     return out
 
 
+def _build_tr_walk_tables(sl_bw, sl_attr, nblk_op, n_blocks, block,
+                          atlas_data, offsets, widths, heights):
+    """Compact transparent-partition tables for the fused in-kernel walks
+    (ops/pallas_trwalk.py).
+
+    Returns (tr_bw [16,Tp], tr_rows [8,Tp], tex8 [Hp,Wp] u8-values-as-f32,
+    lut [1,256], texw, texh, textured, ok). ``ok`` is False (placeholders
+    returned) unless: the scene HAS a transparent partition, it is small
+    enough to keep VMEM-resident, its models reference at most ONE distinct
+    opacity texture, that texture fits the VMEM budget, and its f32 atlas
+    data is EXACTLY u8/255 (always true for PNG-sourced textures; verified
+    here so the in-kernel u8 + LUT fetch is bit-identical to the XLA
+    gather fetch).
+    """
+    lut = (np.arange(256).astype(np.float64) / 255.0).astype(np.float32)
+    lut_row = lut[None, :]
+    placeholder = (np.zeros((16, 128), np.float32),
+                   np.zeros((8, 128), np.float32),
+                   np.zeros((128, 8), np.float32),
+                   np.zeros(128, np.int32),
+                   np.zeros(128, np.int32),
+                   np.zeros((8, 128), np.float32), lut_row, 1, 1,
+                   False, False)
+    lo, hi = nblk_op * block, n_blocks * block
+    if hi - lo <= 0:
+        return placeholder
+    attr_all = sl_attr[lo:hi]
+    # COMPACT to the real transparent slots (SAH blocks average ~76% fill;
+    # the dense per-iteration visit scales with the column count, so pad
+    # slots are pure waste). tr_colmap maps a compact column back to its
+    # GLOBAL packed slot id for hit records.
+    real = np.abs(attr_all[:, 3:9]).sum(axis=1) > 0
+    idx = np.nonzero(real)[0]
+    tp = len(idx)
+    if tp == 0 or tp > int(os.environ.get("PT_TRWALK_MAX", "4096")):
+        return placeholder
+    tp_pad = max(128, ((tp + 127) // 128) * 128)
+    tr_bw = np.zeros((16, tp_pad), np.float32)  # pad cols: d.n = 0 rejects
+    tr_bw[:, :tp] = sl_bw[:, lo:hi][:, idx]
+    attr = attr_all[idx]
+    colmap = np.zeros(tp_pad, np.int32)
+    colmap[:tp] = lo + idx
+    modelmap = np.zeros(tp_pad, np.int32)
+    modelmap[:tp] = attr_all[idx, 27].astype(np.int32)
+    rows = np.zeros((8, tp_pad), np.float32)
+    uv0, uv1, uv2 = attr[:, 21:23], attr[:, 23:25], attr[:, 25:27]
+    rows[0:2, :tp] = uv0.T
+    rows[2:4, :tp] = (uv1 - uv0).T  # f32 sub == the XLA path's runtime sub
+    rows[4:6, :tp] = (uv2 - uv0).T
+    rows[6, :tp] = attr[:, ATTR_OPACITY_F]
+    tids = attr[:, ATTR_OPACITY_T].astype(np.int32)
+    used = np.unique(tids[tids >= 0])
+    if len(used) > 1:
+        return placeholder
+    textured = len(used) == 1
+    w = h = 1
+    tex8 = np.zeros((8, 128), np.float32)
+    if textured:
+        t = int(used[0])
+        w, h = int(widths[t]), int(heights[t])
+        if w * h > int(os.environ.get("PT_TRWALK_TEXMAX", str(1 << 21))):
+            return placeholder
+        off = int(offsets[t])
+        plane = atlas_data[off : off + w * h, 0]
+        r255 = plane.astype(np.float64) * 255.0
+        ru = np.round(r255)
+        if (np.abs(r255 - ru).max() > 1e-3
+                or not np.array_equal(plane, lut[ru.astype(np.int32)])):
+            return placeholder  # not u8-exact: in-kernel fetch diverges
+        hp = ((h + 127) // 128) * 128
+        wp = ((w + 127) // 128) * 128
+        tex8 = np.zeros((hp, wp), np.float32)
+        tex8[:h, :w] = ru.reshape(h, w)
+        rows[7, :tp] = (tids >= 0).astype(np.float32)
+    # Transposed copy for the one-matmul pick of all 8 attribute rows
+    # (sel [RT,Tp] @ rows_t [Tp,8] with HIGHEST precision — exact for
+    # one-hot selectors, see pallas_trwalk._pick_rows_mxu).
+    return (tr_bw, rows, np.ascontiguousarray(rows.T), colmap, modelmap,
+            tex8, lut_row, w, h, textured, True)
+
+
 def _pack_spheres(centers: np.ndarray, radii: np.ndarray) -> np.ndarray:
     """[4, S_pad] lane-major sphere table padded with guaranteed misses.
 
@@ -289,6 +370,27 @@ class DeviceScene:
     # [32,6] transparent-cluster prefilter AABBs (mn.xyz, mx.xyz); see the
     # build comment — pads are degenerate far points.
     tr_prefilter: jax.Array
+    # --- In-kernel transparent-walk tables (ops/pallas_trwalk.py) ---------
+    # Compact tables of ONLY the transparent partition, VMEM-resident in the
+    # fused walk kernels. Placeholder minima when tr_kernel_ok is False.
+    tr_bw: jax.Array  # [16, Tp] transparent slice of sl_bw_t
+    # Rows: uv0.xy, (uv1-uv0).xy, (uv2-uv0).xy, opacity factor, has_tex.
+    tr_rows: jax.Array  # [8, Tp] f32
+    tr_rows_t: jax.Array  # [Tp, 8] f32 transposed copy (one-matmul picks)
+    # Compact column -> GLOBAL packed slot id (columns hold only REAL
+    # transparent triangles; block pad slots are dropped at build).
+    tr_colmap: jax.Array  # [Tp] i32
+    # Compact column -> model id, for LIVE opacity-factor rows in training
+    # mode (a train step may dataclasses.replace mat_opacity_factor; the
+    # kernel then rebuilds row 6 from the live table at dispatch).
+    tr_model: jax.Array  # [Tp] i32
+    # The ONE opacity texture's u8 texel VALUES (0..255, exact in bf16) for
+    # the in-kernel one-hot MXU fetch; padded to 128 multiples with zeros.
+    tr_tex8: jax.Array  # [Hp, Wp] bf16
+    # Exact dequant LUT: tr_lut[0, v] == np.float32(v / 255.0), the
+    # correctly-rounded host division that built tex_data (an in-kernel
+    # v/255.0 divide is 1 ulp off on TPU — measured).
+    tr_lut: jax.Array  # [1, 256] f32
 
     # --- static (non-traced) scene facts; part of the jit key -------------
     # True when every material is fully opaque (opacity factor >= 1, no
@@ -380,6 +482,15 @@ class DeviceScene:
     # removes that channel's atlas gather from sampling.
     has_tex: tuple = dataclasses.field(
         metadata=dict(static=True), default=(False,) * 6)
+    # In-kernel transparent-walk statics (ops/pallas_trwalk.py): tables
+    # valid, real texture width/height, and whether any transparent model
+    # samples an opacity texture (False = factor-only walk, fetch skipped).
+    tr_kernel_ok: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
+    tr_texw: int = dataclasses.field(metadata=dict(static=True), default=1)
+    tr_texh: int = dataclasses.field(metadata=dict(static=True), default=1)
+    tr_textured: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -881,6 +992,12 @@ def build_device_scene(scene: isf.Scene, root,
     cam = np.asarray(scene.camera.transform, np.float32).T
 
     atlas_data = np.concatenate(atlas.chunks, axis=0)
+    sl_bw_np = _baldwin_weber_rows(sl_tris)
+    (tr_bw_np, tr_rows_np, tr_rows_t_np, tr_colmap_np, tr_model_np,
+     tr_tex8_np, tr_lut_np, tr_texw, tr_texh, tr_textured, tr_kernel_ok) = \
+        _build_tr_walk_tables(
+            sl_bw_np, sl_attr, nblk_op, n_blocks, SL_BLOCK, atlas_data,
+            atlas.offsets, atlas.widths, atlas.heights)
 
     import jax.numpy as jnp
 
@@ -953,7 +1070,7 @@ def build_device_scene(scene: isf.Scene, root,
         sl_tris_t=jnp.asarray(np.concatenate(
             [np.ascontiguousarray(sl_tris.T),
              np.zeros((7, sl_tris.shape[0]), np.float32)], axis=0)),
-        sl_bw_t=jnp.asarray(_baldwin_weber_rows(sl_tris)),
+        sl_bw_t=jnp.asarray(sl_bw_np),
         sl_map=jnp.asarray(sl_map),
         sl_blkflat=jnp.asarray(sl_blkflat),
         sl_blkid=jnp.asarray(sl_blkid),
@@ -963,6 +1080,17 @@ def build_device_scene(scene: isf.Scene, root,
         sl_inv=jnp.asarray(sl_inv),
         sph_packed_t=jnp.asarray(sph_packed_t_np),
         tr_prefilter=jnp.asarray(tr_prefilter),
+        tr_bw=jnp.asarray(tr_bw_np),
+        tr_rows=jnp.asarray(tr_rows_np),
+        tr_rows_t=jnp.asarray(tr_rows_t_np),
+        tr_colmap=jnp.asarray(tr_colmap_np),
+        tr_model=jnp.asarray(tr_model_np),
+        tr_tex8=jnp.asarray(tr_tex8_np, jnp.bfloat16),
+        tr_lut=jnp.asarray(tr_lut_np),
+        tr_kernel_ok=tr_kernel_ok,
+        tr_texw=tr_texw,
+        tr_texh=tr_texh,
+        tr_textured=tr_textured,
         no_textures=len(atlas.offsets) == 1,
         # MEASURED NEGATIVE (PERF.md round 3): reading atlas geometry
         # from the wide row is SLOWER end-to-end than the three tiny

@@ -283,6 +283,39 @@ def main() -> int:
     grad_fd(build_device_scene(sc, root=".", use_bvh=True),
             "flat-BVH kernel path")
 
+    # Fused in-kernel transparent walks (ops/pallas_trwalk.py): a compiled
+    # textured-showcase render through the walk kernels must match the XLA
+    # cast walks. On TPU both paths evaluate the same Baldwin-Weber rows,
+    # the texel fetch is bit-exact by construction (u8-in-bf16 one-hot MXU
+    # matmul + f32 LUT), and the RNG streams are identical — measured
+    # bit-exact at 2^18 rays; tiny tolerance for compiler-scheduling drift.
+    import os as _os
+
+    tex_scene = showcase_device_scene(grid=96, use_bvh=True, textured=True)
+    if tex_scene.tr_kernel_ok:
+        from path_tracer_tpu.models.integrator import (
+            IntegratorSpec, render_wavefront)
+
+        wspec = IntegratorSpec(bounces=3, differentiable=False)
+        ids3 = jnp.arange(96 * 54, dtype=jnp.int32)
+
+        def render_tex():
+            return np.asarray(render_wavefront(
+                tex_scene, ids3, 96, 54, jnp.int32(1), wspec))
+
+        a = render_tex()
+        _os.environ["PT_NO_TRWALK_KERNEL"] = "1"
+        b = render_tex()
+        del _os.environ["PT_NO_TRWALK_KERNEL"]
+        dmax = float(np.abs(a - b).max())
+        flip = float((np.abs(a - b).max(axis=-1) > 1e-3).mean())
+        check("trwalk kernels vs XLA walks (compiled render)",
+              flip <= 1e-3 and dmax <= 0.05,
+              f"max|d|={dmax:.2e} flip_rate={flip:.2e}")
+    else:
+        check("trwalk kernels vs XLA walks (compiled render)", False,
+              "tr_kernel_ok unexpectedly False on the textured showcase")
+
     if failures:
         print(f"FAILURES: {failures}")
         return 1
