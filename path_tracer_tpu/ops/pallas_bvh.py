@@ -50,6 +50,24 @@ RAY_TILE = int(os.environ.get("PT_RAY_TILE", "256"))
 # efficiency, consistent with every elementwise op round-tripping VMEM).
 VISIT_ROWS = int(os.environ.get("PT_VISIT_ROWS", "0"))
 
+# Two dense block visits per serial while-loop iteration in the flat
+# closest-hit kernel: halves the per-iteration serial overhead (scalar
+# next-block extraction + loop-condition sync) at the cost of one guarded
+# lax.cond per pair. A/B knob (tests/tools/bounce_cast_sweep.py).
+FLAT_PAIR = os.environ.get("PT_FLAT_PAIR", "1") == "1"
+
+# Post-argmin winner extraction via ONE HIGHEST-precision MXU matmul of the
+# visited block's 12 BW rows at the winning column (exact for one-hot
+# selectors), replacing three masked [RT,block] pick reductions; u/v/dn are
+# then recomputed per-lane from the picked rows (same expressions, same
+# inputs). MEASURED NEGATIVE end-to-end (plain showcase 6.27 -> 4.20
+# Mray/s): the per-visit 6-pass f32 matmul + MXU pipeline stalls cost more
+# than the three reductions it replaces. Kept as an off-by-default knob
+# with the measurement as justification (the SAME trick also measured
+# slightly negative replacing EIGHT reductions in the transparent-walk
+# kernels — pallas_trwalk.TRWALK_MXUPICK).
+FLAT_MXUPICK = os.environ.get("PT_FLAT_MXUPICK", "0") == "1"
+
 
 def _kernel(o_ref, d_ref, tp_ref, nodes6_ref, meta6_ref, tris_ref,
             fout_ref, iout_ref, *scratch, n_nodes: int, block: int,
@@ -160,7 +178,7 @@ def _kernel(o_ref, d_ref, tp_ref, nodes6_ref, meta6_ref, tris_ref,
             tvy = rc(oy) - tr(1)
             tvz = rc(oz) - tr(2)
             u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
-            ok &= (u >= 0.0) & (u <= 1.0)
+            ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
 
             qvx = tvy * tr(5) - tvz * tr(4)
             qvy = tvz * tr(3) - tvx * tr(5)
@@ -414,7 +432,7 @@ def _occ_kernel(o_ref, d_ref, tmax_ref, nodes6_ref, meta6_ref, tris_ref,
             tvy = rc(oy) - tr(1)
             tvz = rc(oz) - tr(2)
             u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
-            ok &= (u >= 0.0) & (u <= 1.0)
+            ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
 
             qvx = tvy * tr(5) - tvz * tr(4)
             qvy = tvz * tr(3) - tvx * tr(5)
@@ -592,7 +610,7 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref,
             hy = cc(oyc) + t * cc(dyc)
             hz = cc(ozc) + t * cc(dzc)
             u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
-            ok &= (u >= 0.0) & (u <= 1.0)
+            ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
             v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
             ok &= (v >= 0.0) & (u + v <= 1.0)
 
@@ -601,6 +619,27 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref,
             col = jnp.argmin(t, axis=1).astype(jnp.int32)
             lanes = jax.lax.broadcasted_iota(jnp.int32, (nrows, block), 1)
             sel = lanes == col[:, None]
+
+            if FLAT_MXUPICK:
+                # One-hot MXU pick of the 12 BW rows at col (exact at
+                # HIGHEST precision), then per-lane recompute of u/v/dn —
+                # replaces three masked [nrows, block] reductions. Miss
+                # lanes (tmin = inf) produce garbage; callers mask by
+                # `better = tmin < bt`.
+                p = jax.lax.dot_general(
+                    sel.astype(jnp.float32), bw[0:12, :],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [nrows, 12]
+                ts = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
+                hxs = oxc + ts * dxc
+                hys = oyc + ts * dyc
+                hzs = ozc + ts * dzc
+                us = hxs * p[:, 4] + hys * p[:, 5] + hzs * p[:, 6] + p[:, 7]
+                vs = (hxs * p[:, 8] + hys * p[:, 9] + hzs * p[:, 10]
+                      + p[:, 11])
+                dns = dxc * p[:, 0] + dyc * p[:, 1] + dzc * p[:, 2]
+                return tmin, col, us, vs, dns
 
             def pick(arr2d):
                 return jnp.sum(jnp.where(sel, arr2d, 0.0), axis=1)
@@ -654,9 +693,18 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref,
             cur, visited, bt, bi, bu, bv, bb = state
             bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
             best = visit_block(bid, (bt, bi, bu, bv, bb))
-            bt = best[0]
             visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
-            nxt = next_hit(visited, bt)
+            nxt = next_hit(visited, best[0])
+            if FLAT_PAIR:
+                # Second visit in the same serial iteration (FLAT_PAIR).
+                def second(b):
+                    bid2 = jnp.sum(jnp.where(iota_b == nxt, bids, 0))
+                    return visit_block(bid2, b)
+
+                best = jax.lax.cond(nxt < bpad, second, lambda b: b, best)
+                # iota_b < bpad everywhere, so nxt == bpad updates nothing.
+                visited = visited + jnp.where(iota_b == nxt, 1.0, 0.0)
+                nxt = next_hit(visited, best[0])
             return (nxt, visited, *best)
 
         bt0 = jnp.full((rt,), jnp.inf, jnp.float32)
@@ -824,7 +872,7 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, bw_ref,
                 hy = rc(oy) + t * rc(dy)
                 hz = rc(oz) + t * rc(dz)
                 u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
-                ok &= (u >= 0.0) & (u <= 1.0)
+                ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
                 v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
                 ok &= (v >= 0.0) & (u + v <= 1.0)
 
@@ -849,6 +897,15 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, bw_ref,
                 occ = visit_block(bid, occ)
                 visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
                 nxt = next_hit(visited, occ)
+                if FLAT_PAIR:
+                    def second(o_):
+                        bid2 = jnp.sum(jnp.where(iota_b == nxt, bids, 0))
+                        return visit_block(bid2, o_)
+
+                    occ = jax.lax.cond(nxt < bpad, second, lambda o_: o_,
+                                       occ)
+                    visited = visited + jnp.where(iota_b == nxt, 1.0, 0.0)
+                    nxt = next_hit(visited, occ)
                 return (nxt, visited, occ)
 
             occ0 = jnp.where(t_max < 0.0, 1.0, 0.0)  # dead lanes: occluded
@@ -1061,7 +1118,7 @@ def _flat2_kernel(o_ref, d_ref, tp_ref, sb_ref, sbid_ref, blk_ref, bid_ref,
             hy = rc(oy) + t * rc(dy)
             hz = rc(oz) + t * rc(dz)
             u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
-            ok &= (u >= 0.0) & (u <= 1.0)
+            ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
             v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
             ok &= (v >= 0.0) & (u + v <= 1.0)
 

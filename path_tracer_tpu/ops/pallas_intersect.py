@@ -72,7 +72,7 @@ def _kernel(o_ref, d_ref, tp_ref, tris_ref, fout_ref, iout_ref, *,
         tvy = rc(oy) - tr(v0y)
         tvz = rc(oz) - tr(v0z)
         u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
-        ok &= (u >= 0.0) & (u <= 1.0)
+        ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
 
         # qvec = tvec x e1
         qvx = tvy * tr(e1z) - tvz * tr(e1y)
@@ -221,7 +221,7 @@ def _khit_kernel(o_ref, d_ref, act_ref, tmax_ref, tris_ref, gbox_ref,
             tvy = rc(oy) - tr(v0y)
             tvz = rc(oz) - tr(v0z)
             u = (tvx * pvx + tvy * pvy + tvz * pvz) * invdet
-            ok &= (u >= 0.0) & (u <= 1.0)
+            ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
 
             qvx = tvy * tr(e1z) - tvz * tr(e1y)
             qvy = tvz * tr(e1x) - tvx * tr(e1z)

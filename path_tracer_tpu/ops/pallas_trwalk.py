@@ -67,6 +67,13 @@ TRWALK_K = int(os.environ.get("PT_TRWALK_K", "8"))
 # more often (sweep: tests/tools/trwalk_sweep.py).
 WALK_TILE = int(os.environ.get("PT_TRWALK_TILE", "256"))
 
+# Table picks via one MXU matmul vs eight masked reductions. MEASURED
+# SLIGHTLY NEGATIVE standalone (alpha 20.6 -> 21.6 ms, trans 48.0 -> 49.0)
+# — the HIGHEST-precision 6-pass matmul + MXU pipeline stalls cost about
+# what the reductions do at this width; off by default, kept as A/B.
+TRWALK_MXUPICK = os.environ.get("PT_TRWALK_MXUPICK", "0") == "1"
+
+
 
 def _eval_mats(ox, oy, oz, dx, dy, dz, t_hi, bw_ref):
     """Dense BW evaluation over the whole transparent table, ONCE per tile:
@@ -91,7 +98,7 @@ def _eval_mats(ox, oy, oz, dx, dy, dz, t_hi, bw_ref):
     hy = rc(oy) + t * rc(dy)
     hz = rc(oz) + t * rc(dz)
     u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
-    ok &= (u >= 0.0) & (u <= 1.0)
+    ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
     v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
     ok &= (v >= 0.0) & (u + v <= 1.0)
 
@@ -209,7 +216,9 @@ def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, rows_ref,
                     # uv0/e1/e2 pre-diffed in f32 (IEEE sub = the XLA
                     # path's runtime sub).
                     (p0x, p0y, pe1x, pe1y, pe2x, pe2y, pfac,
-                     phas) = _pick_rows_mxu(sel, rows_t_ref)
+                     phas) = (_pick_rows_mxu(sel, rows_t_ref)
+                              if TRWALK_MXUPICK
+                              else _pick_rows(sel, rows_ref, range(8)))
                     uvx = p0x + pu * pe1x + pv * pe2x
                     uvy = p0y + pu * pe1y + pv * pe2y
                     texel = _texel(uvx, uvy, tex_ref, lut_ref, texw, texh)
@@ -318,7 +327,9 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, rows_ref, rows_t_ref,
                 found = found & ~(is_pt & (occ_dist > pd))
                 if textured:
                     (p0x, p0y, pe1x, pe1y, pe2x, pe2y, pfac,
-                     phas) = _pick_rows_mxu(sel, rows_t_ref)
+                     phas) = (_pick_rows_mxu(sel, rows_t_ref)
+                              if TRWALK_MXUPICK
+                              else _pick_rows(sel, rows_ref, range(8)))
                     uvx = p0x + pu * pe1x + pv * pe2x
                     uvy = p0y + pu * pe1y + pv * pe2y
                     # Point lanes: ORIGINAL hit's UV (mod.rs:324 quirk).
