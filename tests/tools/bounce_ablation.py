@@ -38,7 +38,8 @@ def main() -> None:
     from path_tracer_tpu.scene.showcase import showcase_device_scene
 
     scene = showcase_device_scene(
-        use_bvh=True, sl_block=int(os.environ.get("PT_SL_BLOCK", "512")))
+        use_bvh=True, sl_block=int(os.environ.get("PT_SL_BLOCK", "512")),
+        textured=os.environ.get("PT_ABL_TEX") == "1")
     W, H = 1920, 1080
     R = 1 << 18
     spec = IntegratorSpec(bounces=5, differentiable=False)
@@ -99,7 +100,8 @@ def main() -> None:
         elif variant == "fake_hit":
             from path_tracer_tpu.ops.intersect import HitRecord, KIND_TRIANGLE
 
-            def fake_closest(o, d, t_prev, scene, block=512, active=None):
+            def fake_closest(o, d, t_prev, scene, block=512, active=None,
+                             include_spheres=True):
                 return HitRecord(
                     t=jnp.full((R,), 5.0), kind=jnp.full((R,), KIND_TRIANGLE),
                     prim=jnp.zeros((R,), jnp.int32),
