@@ -25,19 +25,54 @@ import time
 
 import numpy as np
 
+# Page interactivity mirrors the reference's SFML window (viewer.rs:61-81):
+# mouse-wheel zoom anchored at the cursor (the view.zoom + set_center pair),
+# drag to pan, double-click to reset the view, live status + Stop.
 _PAGE = b"""<!doctype html><html><head><title>path-tracer-tpu</title></head>
-<body style="margin:0;background:#111;color:#ccc;font:13px monospace">
-<div style="padding:4px">
+<body style="margin:0;background:#111;color:#ccc;font:13px monospace;\
+overflow:hidden">
+<div style="padding:4px;position:relative;z-index:2">
   <span id="st">starting...</span>
   <button onclick="fetch('/stop',{method:'POST'})">Stop</button>
+  <span style="opacity:.6">&nbsp;wheel: zoom &middot; drag: pan &middot;
+  double-click: reset</span>
 </div>
-<div style="display:flex;justify-content:center">
-  <img id="im" style="image-rendering:pixelated;max-width:100%"/>
+<div id="vp" style="position:fixed;inset:0;cursor:grab">
+  <img id="im" style="image-rendering:pixelated;position:absolute;\
+left:50%;top:50%;transform-origin:0 0"/>
 </div>
 <script>
 const im = document.getElementById('im');
+const vp = document.getElementById('vp');
 const st = document.getElementById('st');
-setInterval(() => { im.src = '/frame.png?' + Date.now(); }, 250);
+let z = 1, tx = 0, ty = 0;  // zoom + pan offset (view center analog)
+function apply() {
+  im.style.transform =
+    `translate(-50%,-50%) translate(${tx}px,${ty}px) scale(${z})`;
+}
+vp.addEventListener('wheel', e => {
+  e.preventDefault();
+  const f = Math.pow(1.1, -Math.sign(e.deltaY));   // viewer.rs:71 analog
+  const cx = e.clientX - vp.clientWidth / 2 - tx;
+  const cy = e.clientY - vp.clientHeight / 2 - ty;
+  tx -= cx * (f - 1); ty -= cy * (f - 1);          // anchor at the cursor
+  z *= f; apply();
+}, {passive: false});
+let drag = null;
+vp.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY]; });
+window.addEventListener('mousemove', e => {
+  if (!drag) return;
+  tx += e.clientX - drag[0]; ty += e.clientY - drag[1];
+  drag = [e.clientX, e.clientY]; apply();
+});
+window.addEventListener('mouseup', () => { drag = null; });
+vp.addEventListener('dblclick', () => { z = 1; tx = ty = 0; apply(); });
+apply();
+setInterval(() => {
+  const n = new Image();
+  n.onload = () => { im.src = n.src; };   // swap only once loaded
+  n.src = '/frame.png?' + Date.now();
+}, 250);
 setInterval(async () => {
   try {
     const s = await (await fetch('/status')).json();
