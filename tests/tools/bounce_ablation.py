@@ -52,6 +52,7 @@ def main() -> None:
     pix = jnp.asarray(pad[ti * R : (ti + 1) * R])
 
     orig = dict(
+        shadow_multi=I._shadow_attenuation_multi,
         eval_direct=brdf.eval_direct,
         eval_indirect=brdf.eval_indirect,
         sample=brdf.sample,
@@ -62,6 +63,7 @@ def main() -> None:
     )
 
     def restore():
+        I._shadow_attenuation_multi = orig["shadow_multi"]
         brdf.eval_direct = orig["eval_direct"]
         brdf.eval_indirect = orig["eval_indirect"]
         brdf.sample = orig["sample"]
@@ -78,6 +80,14 @@ def main() -> None:
                 return jnp.where(active[:, None],
                                  jnp.broadcast_to(light_color, s_o.shape), 0.0)
             I._shadow_attenuation = fake_shadow
+
+            def fake_shadow_multi(scene, s_o, dirs, actives, colors, spec,
+                                  steps, point_dists, surf_pos,
+                                  orig_model_uv, blockeds):
+                return [jnp.where(actives[i][:, None],
+                                  jnp.broadcast_to(colors[i], s_o.shape),
+                                  0.0) for i in range(len(dirs))]
+            I._shadow_attenuation_multi = fake_shadow_multi
         elif variant == "no_direct":
             brdf.eval_direct = lambda mat, f0, n, v, l: jnp.ones_like(n)
         elif variant == "no_indirect":
@@ -102,12 +112,13 @@ def main() -> None:
 
             def fake_closest(o, d, t_prev, scene, block=512, active=None,
                              include_spheres=True):
+                n = o.shape[0]
                 return HitRecord(
-                    t=jnp.full((R,), 5.0), kind=jnp.full((R,), KIND_TRIANGLE),
-                    prim=jnp.zeros((R,), jnp.int32),
-                    u=jnp.full((R,), 0.3), v=jnp.full((R,), 0.3),
-                    backface=jnp.zeros((R,), jnp.bool_),
-                    packed=jnp.zeros((R,), jnp.int32))
+                    t=jnp.full((n,), 5.0), kind=jnp.full((n,), KIND_TRIANGLE),
+                    prim=jnp.zeros((n,), jnp.int32),
+                    u=jnp.full((n,), 0.3), v=jnp.full((n,), 0.3),
+                    backface=jnp.zeros((n,), jnp.bool_),
+                    packed=jnp.zeros((n,), jnp.int32))
             I.closest_hit = fake_closest
         elif variant != "full":
             raise SystemExit(f"unknown variant {variant}")
