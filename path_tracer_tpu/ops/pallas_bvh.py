@@ -43,12 +43,10 @@ from path_tracer_tpu.ops.intersect import (
 # (tests/tools/bounce_cast_sweep.py); 256 is the measured default.
 RAY_TILE = int(os.environ.get("PT_RAY_TILE", "256"))
 
-# Dense-visit ray-row sub-chunking (flat closest-hit kernel): 0 = whole
-# [RAY_TILE, block] visit in one pass; N = statically unrolled passes over
-# [N, block] row chunks. Probe for whether Mosaic keeps smaller per-op
-# intermediates in vector registers (the [256,512] visit measures ~27% VPU
-# efficiency, consistent with every elementwise op round-tripping VMEM).
-VISIT_ROWS = int(os.environ.get("PT_VISIT_ROWS", "0"))
+# NOTE (round-4 negative): row-sub-chunked visits were probed and removed —
+# Mosaic cannot concatenate 1-D sub-vectors ("input offsets outside the
+# first tile"), and a synthetic probe showed chunk size does not change the
+# ~1 Tops/s VMEM-bound elementwise ceiling anyway (PERF.md round 4).
 
 # Two dense block visits per serial while-loop iteration in the flat
 # closest-hit kernel: halves the per-iteration serial overhead (scalar
@@ -67,6 +65,10 @@ FLAT_PAIR = os.environ.get("PT_FLAT_PAIR", "1") == "1"
 # slightly negative replacing EIGHT reductions in the transparent-walk
 # kernels — pallas_trwalk.TRWALK_MXUPICK).
 FLAT_MXUPICK = os.environ.get("PT_FLAT_MXUPICK", "0") == "1"
+
+# Block-visit priority: tile-min slab entry (default) vs tile-mean entry
+# over hitting lanes (A/B; see the comment at the tn_min computation).
+VISIT_ORDER_MEAN = os.environ.get("PT_VISIT_ORDER", "min") == "mean"
 
 
 def _kernel(o_ref, d_ref, tp_ref, nodes6_ref, meta6_ref, tris_ref,
@@ -583,8 +585,20 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref,
         # Per-tile front-to-back priority: each block's minimum slab entry
         # over the tile's rays. Visiting in THIS order (not the global
         # centroid order) tightens best-t fastest, so later blocks prune.
-        tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
-                         keepdims=True)  # [1,B]
+        # PT_VISIT_ORDER=mean scores blocks by the MEAN entry over hitting
+        # lanes instead — min is optimistic on direction-divergent bounce
+        # tiles (one early ray promotes a block most lanes reach late).
+        # Order is a pure perf heuristic: results are order-invariant.
+        if VISIT_ORDER_MEAN:
+            cnt = jnp.sum(hit0, axis=0, keepdims=True)
+            tn_min = jnp.where(
+                cnt > 0.0,
+                jnp.sum(jnp.where(hit0 > 0.0, tn, 0.0), axis=0,
+                        keepdims=True) / jnp.maximum(cnt, 1.0),
+                jnp.inf)  # [1,B]
+        else:
+            tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
+                             keepdims=True)  # [1,B]
 
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
 
@@ -647,24 +661,13 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref,
             return tmin, col, pick(u), pick(v), pick(dn)
 
         def visit_block(block_id, best):
-            """Dense [RT, block] visit, optionally as statically-unrolled
-            row chunks (PT_VISIT_ROWS; see VISIT_ROWS above)."""
+            """Dense [RT, block] Baldwin-Weber visit of one block."""
             bt, bi, bu, bv, bb = best
             start = pl.multiple_of(block_id * block, 128)
             bw = bw_ref[:, pl.ds(start, block)]  # [12, B]
 
-            cr = VISIT_ROWS if 0 < VISIT_ROWS < rt else rt
-            if cr == rt:
-                tmin, col, pu, pv, pdn = visit_chunk(
-                    ox, oy, oz, dx, dy, dz, t_prev, bw, rt)
-            else:
-                parts = [visit_chunk(ox[s], oy[s], oz[s], dx[s], dy[s],
-                                     dz[s], t_prev[s], bw, cr)
-                         for s in (slice(r0, r0 + cr)
-                                   for r0 in range(0, rt, cr))]
-                tmin, col, pu, pv, pdn = (
-                    jnp.concatenate([p[i] for p in parts])
-                    for i in range(5))
+            tmin, col, pu, pv, pdn = visit_chunk(
+                ox, oy, oz, dx, dy, dz, t_prev, bw, rt)
 
             better = tmin < bt
             bt = jnp.where(better, tmin, bt)
