@@ -2,7 +2,7 @@
 
 The reference pins 7 full renders by SHA-1 (ref: src/main.rs:100-166). SHA-1
 of float output is not portable across XLA versions/backends, so our goldens
-are stored as float radiance arrays (tests/goldens/*.npz, 32x24 @ 2spp,
+are stored as float radiance arrays (tests/goldens/*.npz, 64x48 @ 2spp,
 2 bounces) compared with a tolerance. Regenerate after INTENDED behavior
 changes with: python tests/test_golden.py regen
 """
@@ -21,7 +21,7 @@ SCENES = [
     "white_furnace_direct",
     "white_furnace_indirect",
 ]
-W, H, SPP, BOUNCES = 32, 24, 2, 2
+W, H, SPP, BOUNCES = 64, 48, 2, 2
 
 
 def _render(scenes_root, name):
