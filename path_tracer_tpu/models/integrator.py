@@ -46,6 +46,7 @@ import jax.numpy as jnp
 
 from path_tracer_tpu.ops import brdf, rng, texturing
 from path_tracer_tpu.ops.intersect import (
+    ALPHA_MIN_OPACITY,
     KIND_TRIANGLE,
     HitRecord,
     closest_hit,
@@ -53,7 +54,6 @@ from path_tracer_tpu.ops.intersect import (
 
 NORMAL_BIAS = 1e-5  # ref: src/renderer/mod.rs:58
 THROUGHPUT_CUTOFF = 1e-5  # ref: mod.rs:219
-ALPHA_MIN_OPACITY = 0.001  # ref: mod.rs:201
 PI = 3.14159265358979323846
 
 
@@ -706,19 +706,22 @@ def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
 
         kcap = min(steps, twk.TRWALK_K)
         stride = rng.site_layout(steps)[3]
-        rnd = jnp.stack(
-            [rng.uniform(pixel_ids, sample_id,
-                         rng.SITE_ALPHA + k + stride * bounce, spec.seed)
-             for k in range(kcap)], axis=0)
         t_op_enc = jnp.where(walk_active, t_op, -1.0)
 
-        def run_kernel(o, d, t_op_enc, rnd):
+        def run_kernel(o, d, t_op_enc, pixel_ids, sample_id, bounce):
+            # RNG stack built INSIDE the cond so all-inactive wavefronts
+            # skip the kcap counter-RNG passes too (review round 4).
+            rnd = jnp.stack(
+                [rng.uniform(pixel_ids, sample_id,
+                             rng.SITE_ALPHA + k + stride * bounce,
+                             spec.seed)
+                 for k in range(kcap)], axis=0)
             return twk.alpha_walk_kernel(
                 scene, o, d, t_op_enc, rnd, kcap,
                 interpret=_tr_kernel_interpret(),
                 live_factor=spec.differentiable)
 
-        def no_hits(o, d, t_op_enc, rnd):
+        def no_hits(o, d, t_op_enc, pixel_ids, sample_id, bounce):
             z = jnp.zeros((r,), jnp.float32)
             f = jnp.zeros((r,), jnp.bool_)
             return (jnp.full((r,), jnp.inf, jnp.float32),
@@ -728,7 +731,7 @@ def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
         (sel_t, sel_packed, sel_u, sel_v, sel_bf, seen_tr, accepted,
          still, t_prev) = jax.lax.stop_gradient(jax.lax.cond(
             jnp.any(walk_active), run_kernel, no_hits,
-            o, d, t_op_enc, rnd))
+            o, d, t_op_enc, pixel_ids, sample_id, bounce))
         prim = scene.sl_map[jnp.maximum(sel_packed, 0)]
         sel = HitRecord(
             t=sel_t,

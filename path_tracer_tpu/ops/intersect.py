@@ -27,6 +27,10 @@ import jax.numpy as jnp
 
 DET_EPS = 1e-6
 T_MIN = 1e-6
+# Minimum opacity for the stochastic alpha-accept test (ref mod.rs:201);
+# canonical here so the integrator AND the fused walk kernels
+# (ops/pallas_trwalk.py) share one definition.
+ALPHA_MIN_OPACITY = 0.001
 
 KIND_NONE = 0
 KIND_TRIANGLE = 1

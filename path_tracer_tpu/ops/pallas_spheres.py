@@ -305,74 +305,110 @@ def occluded_spheres_pallas(o, d, t_max, scene, interpret=False):
 # on measure-zero exact-tie configurations of distinct spheres.
 # ---------------------------------------------------------------------------
 
+_SPH_BLOCK = 128  # spheres per walk block (device_scene.SPH_BLOCK)
+
+
+def _walk_tile_geom(o_ref, d_ref, blk_ref, base):
+    """Shared per-tile geometry of both walk kernels: ray loads,
+    zero-guarded reciprocals, and the [RT, SB] slab test of every
+    block AABB (see pallas_bvh._flat_kernel for the 1e30 guard note)."""
+    ox = o_ref[0, pl.ds(base, RAY_TILE)]
+    oy = o_ref[1, pl.ds(base, RAY_TILE)]
+    oz = o_ref[2, pl.ds(base, RAY_TILE)]
+    dx = d_ref[0, pl.ds(base, RAY_TILE)]
+    dy = d_ref[1, pl.ds(base, RAY_TILE)]
+    dz = d_ref[2, pl.ds(base, RAY_TILE)]
+
+    def rc(a):
+        return a[:, None]
+
+    inv_dx = jnp.where(dx == 0.0, 1e30, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
+    inv_dy = jnp.where(dy == 0.0, 1e30, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
+    inv_dz = jnp.where(dz == 0.0, 1e30, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
+    t0x = (blk_ref[0, :][None, :] - rc(ox)) * rc(inv_dx)
+    t1x = (blk_ref[3, :][None, :] - rc(ox)) * rc(inv_dx)
+    t0y = (blk_ref[1, :][None, :] - rc(oy)) * rc(inv_dy)
+    t1y = (blk_ref[4, :][None, :] - rc(oy)) * rc(inv_dy)
+    t0z = (blk_ref[2, :][None, :] - rc(oz)) * rc(inv_dz)
+    t1z = (blk_ref[5, :][None, :] - rc(oz)) * rc(inv_dz)
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z))
+    return (ox, oy, oz, dx, dy, dz), tn, tf
+
+
+def _quad_roots(o3, d3, aq, sph_ref, start):
+    """Per-(ray, sphere) quadratic roots over one block window, matching
+    the dense kernel's oc = o - c formulation (ref model.rs:26-37).
+    Returns (t1, t2, has)."""
+    ox, oy, oz = o3[0:3]
+    dx, dy, dz = d3[0:3]
+
+    def rc(a):
+        return a[:, None]
+
+    cx = sph_ref[0, pl.ds(start, _SPH_BLOCK)][None, :]
+    cy = sph_ref[1, pl.ds(start, _SPH_BLOCK)][None, :]
+    cz = sph_ref[2, pl.ds(start, _SPH_BLOCK)][None, :]
+    rad = sph_ref[3, pl.ds(start, _SPH_BLOCK)][None, :]
+    ocx = rc(ox) - cx
+    ocy = rc(oy) - cy
+    ocz = rc(oz) - cz
+    b = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
+    c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = b * b - 4.0 * aq * c
+    has = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+    inv2a = 1.0 / (2.0 * aq)
+    return (-b - sq) * inv2a, (-b + sq) * inv2a, has
+
+
+def _argmin_next(hit0, tn, iota_b, sbpad):
+    """(tn_min scores, next_hit fn) of the tn-priority argmin-next walk."""
+    tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
+                     keepdims=True)
+
+    def next_hit(visited, live_rows):
+        live = hit0 * live_rows
+        anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
+            & (visited == 0.0)
+        cand = jnp.where(anyhit, tn_min, jnp.inf)
+        m = jnp.min(cand)
+        return jnp.min(jnp.where(anyhit & (cand == m), iota_b, sbpad))
+
+    return next_hit
+
 
 def _sph_walk_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, sph_ref,
                      fout_ref, iout_ref, *, sbpad: int, n_tiles: int):
-    block = 128
-
     def tile_body(tile, _):
         base = tile * RAY_TILE
-        ox = o_ref[0, pl.ds(base, RAY_TILE)]
-        oy = o_ref[1, pl.ds(base, RAY_TILE)]
-        oz = o_ref[2, pl.ds(base, RAY_TILE)]
-        dx = d_ref[0, pl.ds(base, RAY_TILE)]
-        dy = d_ref[1, pl.ds(base, RAY_TILE)]
-        dz = d_ref[2, pl.ds(base, RAY_TILE)]
+        o3d3, tn, tf = _walk_tile_geom(o_ref, d_ref, blk_ref, base)
+        (ox, oy, oz, dx, dy, dz) = o3d3
         t_prev = tp_ref[0, pl.ds(base, RAY_TILE)]
         rt = RAY_TILE
 
         def rc(a):
             return a[:, None]
 
-        # Zero-guarded reciprocals (see pallas_bvh._flat_kernel).
-        inv_dx = jnp.where(dx == 0.0, 1e30,
-                           1.0 / jnp.where(dx == 0.0, 1.0, dx))
-        inv_dy = jnp.where(dy == 0.0, 1e30,
-                           1.0 / jnp.where(dy == 0.0, 1.0, dy))
-        inv_dz = jnp.where(dz == 0.0, 1e30,
-                           1.0 / jnp.where(dz == 0.0, 1.0, dz))
-
-        t0x = (blk_ref[0, :][None, :] - rc(ox)) * rc(inv_dx)
-        t1x = (blk_ref[3, :][None, :] - rc(ox)) * rc(inv_dx)
-        t0y = (blk_ref[1, :][None, :] - rc(oy)) * rc(inv_dy)
-        t1y = (blk_ref[4, :][None, :] - rc(oy)) * rc(inv_dy)
-        t0z = (blk_ref[2, :][None, :] - rc(oz)) * rc(inv_dz)
-        t1z = (blk_ref[5, :][None, :] - rc(oz)) * rc(inv_dz)
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z))
         bids = bid_ref[0, :][None, :]
         # Sphere roots are valid from t >= 0 (no T_MIN); prune vs t_prev.
         hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0)) & (tf > rc(t_prev))
                          & (bids >= 0), 1.0, 0.0)
-        tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
-                         keepdims=True)
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, sbpad), 1)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (rt, block), 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (rt, _SPH_BLOCK), 1)
         aq = rc(dx * dx + dy * dy + dz * dz)
         tp = rc(t_prev)
+        next_hit = _argmin_next(hit0, tn, iota_b, sbpad)
 
         def visit_block(block_id, best):
             bt, bi, bb = best
-            start = pl.multiple_of(block_id * block, 128)
-            cx = sph_ref[0, pl.ds(start, block)][None, :]
-            cy = sph_ref[1, pl.ds(start, block)][None, :]
-            cz = sph_ref[2, pl.ds(start, block)][None, :]
-            rad = sph_ref[3, pl.ds(start, block)][None, :]
-            ocx = rc(ox) - cx
-            ocy = rc(oy) - cy
-            ocz = rc(oz) - cz
-            b = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
-            c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-            disc = b * b - 4.0 * aq * c
-            has = disc >= 0.0
-            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
-            inv2a = 1.0 / (2.0 * aq)
-            t1 = (-b - sq) * inv2a
-            t2 = (-b + sq) * inv2a
+            start = pl.multiple_of(block_id * _SPH_BLOCK, 128)
+            t1, t2, has = _quad_roots(o3d3[0:3], o3d3[3:6], aq, sph_ref,
+                                      start)
             v1 = has & (t1 >= 0.0) & (t1 > tp)
             v2 = has & (t2 >= 0.0) & (t2 > tp)
             t_near = jnp.where(v1, t1, jnp.where(v2, t2, jnp.inf))
@@ -390,14 +426,6 @@ def _sph_walk_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, sph_ref,
                     jnp.where(better, start + col, bi),
                     jnp.where(better, back, bb))
 
-        def next_hit(visited, bt):
-            live = hit0 * jnp.where(tn <= rc(bt), 1.0, 0.0)
-            anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
-                & (visited == 0.0)
-            cand = jnp.where(anyhit, tn_min, jnp.inf)
-            m = jnp.min(cand)
-            return jnp.min(jnp.where(anyhit & (cand == m), iota_b, sbpad))
-
         def cond(state):
             return state[0] < sbpad
 
@@ -406,7 +434,7 @@ def _sph_walk_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, sph_ref,
             bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
             best = visit_block(bid, (bt, bi, bb))
             visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
-            nxt = next_hit(visited, best[0])
+            nxt = next_hit(visited, jnp.where(tn <= rc(best[0]), 1.0, 0.0))
 
             # Second visit per serial iteration (pallas_bvh.FLAT_PAIR).
             def second(b):
@@ -415,12 +443,12 @@ def _sph_walk_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, sph_ref,
 
             best = jax.lax.cond(nxt < sbpad, second, lambda b: b, best)
             visited = visited + jnp.where(iota_b == nxt, 1.0, 0.0)
-            nxt = next_hit(visited, best[0])
+            nxt = next_hit(visited, jnp.where(tn <= rc(best[0]), 1.0, 0.0))
             return (nxt, visited, *best)
 
         bt0 = jnp.full((rt,), jnp.inf, jnp.float32)
         visited0 = jnp.zeros((1, sbpad), jnp.float32)
-        first = next_hit(visited0, bt0)
+        first = next_hit(visited0, jnp.where(tn <= rc(bt0), 1.0, 0.0))
         init = (first, visited0, bt0, jnp.zeros((rt,), jnp.int32),
                 jnp.zeros((rt,), jnp.float32))
         _, _, bt, bi, bb = jax.lax.while_loop(cond, body, init)
@@ -455,79 +483,32 @@ def _sph_walk_launch(o_t, d_t, t_prev, blk, bid, sph_t, sbpad,
 
 def _sph_occ_walk_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, sph_ref,
                          out_ref, *, sbpad: int, n_tiles: int):
-    block = 128
-
     def tile_body(tile, _):
         base = tile * RAY_TILE
-        ox = o_ref[0, pl.ds(base, RAY_TILE)]
-        oy = o_ref[1, pl.ds(base, RAY_TILE)]
-        oz = o_ref[2, pl.ds(base, RAY_TILE)]
-        dx = d_ref[0, pl.ds(base, RAY_TILE)]
-        dy = d_ref[1, pl.ds(base, RAY_TILE)]
-        dz = d_ref[2, pl.ds(base, RAY_TILE)]
+        o3d3, tn, tf = _walk_tile_geom(o_ref, d_ref, blk_ref, base)
+        (ox, oy, oz, dx, dy, dz) = o3d3
         t_max = tmax_ref[0, pl.ds(base, RAY_TILE)]
         rt = RAY_TILE
 
         def rc(a):
             return a[:, None]
 
-        inv_dx = jnp.where(dx == 0.0, 1e30,
-                           1.0 / jnp.where(dx == 0.0, 1.0, dx))
-        inv_dy = jnp.where(dy == 0.0, 1e30,
-                           1.0 / jnp.where(dy == 0.0, 1.0, dy))
-        inv_dz = jnp.where(dz == 0.0, 1e30,
-                           1.0 / jnp.where(dz == 0.0, 1.0, dz))
-
-        t0x = (blk_ref[0, :][None, :] - rc(ox)) * rc(inv_dx)
-        t1x = (blk_ref[3, :][None, :] - rc(ox)) * rc(inv_dx)
-        t0y = (blk_ref[1, :][None, :] - rc(oy)) * rc(inv_dy)
-        t1y = (blk_ref[4, :][None, :] - rc(oy)) * rc(inv_dy)
-        t0z = (blk_ref[2, :][None, :] - rc(oz)) * rc(inv_dz)
-        t1z = (blk_ref[5, :][None, :] - rc(oz)) * rc(inv_dz)
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z))
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z))
         bids = bid_ref[0, :][None, :]
         hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0)) & (tn <= rc(t_max))
                          & (rc(t_max) >= 0.0) & (bids >= 0), 1.0, 0.0)
-        tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
-                         keepdims=True)
         iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, sbpad), 1)
         aq = rc(dx * dx + dy * dy + dz * dz)
         tm = rc(t_max)
+        next_hit = _argmin_next(hit0, tn, iota_b, sbpad)
 
         def visit_block(block_id, occ):
-            start = pl.multiple_of(block_id * block, 128)
-            cx = sph_ref[0, pl.ds(start, block)][None, :]
-            cy = sph_ref[1, pl.ds(start, block)][None, :]
-            cz = sph_ref[2, pl.ds(start, block)][None, :]
-            rad = sph_ref[3, pl.ds(start, block)][None, :]
-            ocx = rc(ox) - cx
-            ocy = rc(oy) - cy
-            ocz = rc(oz) - cz
-            b = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
-            c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-            disc = b * b - 4.0 * aq * c
-            has = disc >= 0.0
-            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
-            inv2a = 1.0 / (2.0 * aq)
-            t1 = (-b - sq) * inv2a
-            t2 = (-b + sq) * inv2a
+            start = pl.multiple_of(block_id * _SPH_BLOCK, 128)
+            t1, t2, has = _quad_roots(o3d3[0:3], o3d3[3:6], aq, sph_ref,
+                                      start)
             v1 = has & (t1 >= 0.0) & (t1 <= tm)
             v2 = has & (t2 >= 0.0) & (t2 <= tm)
             hit = jnp.max(jnp.where(v1 | v2, 1.0, 0.0), axis=1)
             return jnp.maximum(occ, hit)
-
-        def next_hit(visited, occ):
-            live = hit0 * jnp.where(rc(occ) < 1.0, 1.0, 0.0)
-            anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
-                & (visited == 0.0)
-            cand = jnp.where(anyhit, tn_min, jnp.inf)
-            m = jnp.min(cand)
-            return jnp.min(jnp.where(anyhit & (cand == m), iota_b, sbpad))
 
         def cond(state):
             return state[0] < sbpad
@@ -537,7 +518,7 @@ def _sph_occ_walk_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, sph_ref,
             bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
             occ = visit_block(bid, occ)
             visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
-            nxt = next_hit(visited, occ)
+            nxt = next_hit(visited, jnp.where(rc(occ) < 1.0, 1.0, 0.0))
 
             def second(o_):
                 bid2 = jnp.sum(jnp.where(iota_b == nxt, bids, 0))
@@ -545,12 +526,17 @@ def _sph_occ_walk_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, sph_ref,
 
             occ = jax.lax.cond(nxt < sbpad, second, lambda o_: o_, occ)
             visited = visited + jnp.where(iota_b == nxt, 1.0, 0.0)
-            nxt = next_hit(visited, occ)
+            nxt = next_hit(visited, jnp.where(rc(occ) < 1.0, 1.0, 0.0))
             return (nxt, visited, occ)
 
-        occ0 = jnp.where(t_max < 0.0, 1.0, 0.0)
+        # Dead lanes (t_max < 0): hit0 already excludes them from every
+        # block, so seeding occ = 0 is both safe for termination AND keeps
+        # the DENSE kernel's dead-lane contract (occluded_spheres_pallas
+        # returns False for t_max = -1 marker lanes on BOTH paths — the
+        # scene's sphere count must not change the API's semantics).
+        occ0 = jnp.zeros((rt,), jnp.float32)
         visited0 = jnp.zeros((1, sbpad), jnp.float32)
-        first = next_hit(visited0, occ0)
+        first = next_hit(visited0, jnp.where(rc(occ0) < 1.0, 1.0, 0.0))
         _, _, occ = jax.lax.while_loop(cond, body, (first, visited0, occ0))
         out_ref[0, pl.ds(base, RAY_TILE)] = occ
         return 0

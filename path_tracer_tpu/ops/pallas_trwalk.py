@@ -56,7 +56,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from path_tracer_tpu.ops.intersect import DET_EPS, T_MIN
+from path_tracer_tpu.ops.intersect import (ALPHA_MIN_OPACITY,
+                                           DET_EPS, T_MIN)
 
 # Static in-kernel walk step cap; lanes needing more fall back to the exact
 # cast residual (measured max productive crossings on the showcase: 4).
@@ -227,7 +228,8 @@ def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, rows_ref,
                     pfac = _pick_rows(sel, rows_ref, (6,))[0]
                     op = pfac
                 rnd = _rnd_at(rnd_ref, k, base)
-                accept = (op >= 1.0) | ((op > 0.001) & (rnd < op))
+                accept = (op >= 1.0) | ((op > ALPHA_MIN_OPACITY)
+                                        & (rnd < op))
                 fnd = found
                 sel_t = jnp.where(fnd, tmin, sel_t)
                 sel_col = jnp.where(fnd, col, sel_col)

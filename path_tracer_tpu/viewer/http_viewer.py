@@ -38,8 +38,9 @@ overflow:hidden">
   double-click: reset</span>
 </div>
 <div id="vp" style="position:fixed;inset:0;cursor:grab">
-  <img id="im" style="image-rendering:pixelated;position:absolute;\
-left:50%;top:50%;transform-origin:0 0"/>
+  <img id="im" draggable="false" style="image-rendering:pixelated;\
+position:absolute;left:50%;top:50%;transform-origin:0 0;\
+user-select:none"/>
 </div>
 <script>
 const im = document.getElementById('im');
@@ -59,7 +60,10 @@ vp.addEventListener('wheel', e => {
   z *= f; apply();
 }, {passive: false});
 let drag = null;
-vp.addEventListener('mousedown', e => { drag = [e.clientX, e.clientY]; });
+vp.addEventListener('mousedown', e => {
+  e.preventDefault();  // defeat native <img> drag so panning works
+  drag = [e.clientX, e.clientY];
+});
 window.addEventListener('mousemove', e => {
   if (!drag) return;
   tx += e.clientX - drag[0]; ty += e.clientY - drag[1];

@@ -44,8 +44,11 @@ def test_sphere_kernel_chunked_big_table():
     from path_tracer_tpu.ops.pallas_spheres import closest_hit_spheres_pallas
     from path_tracer_tpu.scene.procedural import sphere_grid_device_scene
 
+    import dataclasses
+
     scene = sphere_grid_device_scene(70)  # 4900 spheres
     assert scene.sph_packed_t.shape[1] % 512 == 0  # chunkable padding
+    assert scene.sph_use_blocks  # dispatch default: the BLOCK walk
     rng = np.random.default_rng(9)
     r = 512
     o = jnp.asarray(rng.uniform(-45, 45, (r, 3)).astype(np.float32))
@@ -54,16 +57,23 @@ def test_sphere_kernel_chunked_big_table():
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     tp = jnp.full((r,), -1.0, jnp.float32)
     ref = closest_hit_spheres(o, d, tp, scene)
-    pk = closest_hit_spheres_pallas(o, d, tp, scene, interpret=True)
-    # Near-tangent hits can flip prim between the division and the
-    # multiply-by-reciprocal forms of the root (1-ulp discriminant
-    # differences, same class the module docstring documents); at
-    # 4900-sphere density a few grazing lanes flip — bound the RATE.
-    mism = np.asarray(ref.prim) != np.asarray(pk.prim)
-    assert mism.mean() <= 0.01, f"prim flip rate {mism.mean():.3f}"
-    ok = ~mism
-    np.testing.assert_allclose(np.asarray(ref.t)[ok], np.asarray(pk.t)[ok],
-                               rtol=1e-3, atol=1e-6)
+    # BOTH kernel paths: the block walk (big-scene default) AND the dense
+    # chunked-streaming kernel (forced by clearing the dispatch flag) must
+    # match the jnp reference — the dense chunk logic stays load-bearing
+    # for <= 512-sphere scenes and must not rot behind the block path.
+    dense_scene = dataclasses.replace(scene, sph_use_blocks=False)
+    for label, sc in (("block", scene), ("dense-chunked", dense_scene)):
+        pk = closest_hit_spheres_pallas(o, d, tp, sc, interpret=True)
+        # Near-tangent hits can flip prim between the division and the
+        # multiply-by-reciprocal forms of the root (1-ulp discriminant
+        # differences); at 4900-sphere density a few grazing lanes flip —
+        # bound the RATE.
+        mism = np.asarray(ref.prim) != np.asarray(pk.prim)
+        assert mism.mean() <= 0.01, f"{label}: flip rate {mism.mean():.3f}"
+        ok = ~mism
+        np.testing.assert_allclose(np.asarray(ref.t)[ok],
+                                   np.asarray(pk.t)[ok],
+                                   rtol=1e-3, atol=1e-6, err_msg=label)
     assert float(jnp.mean(ref.valid)) > 0.3
 
 
@@ -71,6 +81,8 @@ def test_sphere_occ_kernel_chunked_big_table():
     from path_tracer_tpu.ops.pallas_spheres import occluded_spheres_pallas
     from path_tracer_tpu.ops.intersect import closest_hit_spheres
     from path_tracer_tpu.scene.procedural import sphere_grid_device_scene
+
+    import dataclasses
 
     scene = sphere_grid_device_scene(70)
     rng = np.random.default_rng(10)
@@ -81,10 +93,19 @@ def test_sphere_occ_kernel_chunked_big_table():
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     ref = closest_hit_spheres(o, d, jnp.full((r,), -1.0, jnp.float32), scene)
     t_ref = np.where(np.isfinite(np.asarray(ref.t)), np.asarray(ref.t), 500.0)
-    above = jnp.asarray((t_ref * 1.01).astype(np.float32))
-    occ = occluded_spheres_pallas(o, d, above, scene, interpret=True)
-    np.testing.assert_array_equal(np.asarray(occ),
-                                  np.asarray(ref.t) <= np.asarray(above))
+    above_np = (t_ref * 1.01).astype(np.float32)
+    # Dead-lane marker contract: t_max = -1 lanes occlude nothing, on BOTH
+    # kernel paths (the block walk must not inherit the flat-triangle
+    # kernel's start-occluded seeding — the scene's sphere count must not
+    # change the API's dead-lane semantics).
+    dead = np.arange(r) % 7 == 0
+    above_np[dead] = -1.0
+    above = jnp.asarray(above_np)
+    want = (np.asarray(ref.t) <= above_np) & ~dead
+    dense_scene = dataclasses.replace(scene, sph_use_blocks=False)
+    for label, sc in (("block", scene), ("dense-chunked", dense_scene)):
+        occ = occluded_spheres_pallas(o, d, above, sc, interpret=True)
+        np.testing.assert_array_equal(np.asarray(occ), want, err_msg=label)
 
 
 def test_sphere_block_tables_invariants():
