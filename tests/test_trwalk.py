@@ -162,3 +162,28 @@ def test_differentiable_mode_gradients(tex_scene, monkeypatch):
     g_xla = float(jax.grad(loss)(jnp.float32(1.0), None))
     assert np.isfinite(g_kernel) and abs(g_xla) > 1e-9
     assert abs(g_kernel - g_xla) <= 0.02 * abs(g_xla) + 1e-7
+
+
+def test_factor_only_kernel_walk_matches_xla(monkeypatch):
+    """The textured=False kernel path (no texel fetch, factor-only opacity)
+    against the XLA walks — the showcase fixture is textured, so this is
+    the only gate on the factor-only kernel branch. Uses the >32-cluster
+    scene from test_partition (46 translucent quads + opaque floor)."""
+    from tests.test_partition import many_cluster_scene as mk
+
+    s = mk.__wrapped__()
+    assert s.tr_kernel_ok and not s.tr_textured
+    from path_tracer_tpu.models import integrator as I
+
+    W, H = 64, 36
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    spec = IntegratorSpec(bounces=2, differentiable=False)
+    monkeypatch.setenv("PT_TRWALK_INTERPRET", "1")
+    assert I._use_tr_kernel(s, spec)
+    a = np.asarray(render_wavefront(s, ids, W, H, jnp.int32(1), spec))
+    monkeypatch.delenv("PT_TRWALK_INTERPRET")
+    monkeypatch.setenv("PT_NO_TRWALK_KERNEL", "1")
+    b = np.asarray(render_wavefront(s, ids, W, H, jnp.int32(1), spec))
+    d = np.abs(a - b)
+    assert (d.max(axis=-1) > 1e-3).mean() < 0.005, d.max()
+    assert d.mean() < 1e-5
