@@ -68,25 +68,14 @@ TRWALK_K = int(os.environ.get("PT_TRWALK_K", "8"))
 # more often (sweep: tests/tools/trwalk_sweep.py).
 WALK_TILE = int(os.environ.get("PT_TRWALK_TILE", "256"))
 
-# Table picks via one MXU matmul vs eight masked reductions. MEASURED
-# SLIGHTLY NEGATIVE standalone (alpha 20.6 -> 21.6 ms, trans 48.0 -> 49.0)
-# — the HIGHEST-precision 6-pass matmul + MXU pipeline stalls cost about
-# what the reductions do at this width; off by default, kept as A/B.
-TRWALK_MXUPICK = os.environ.get("PT_TRWALK_MXUPICK", "0") == "1"
-
-
-
-def _eval_mats(ox, oy, oz, dx, dy, dz, t_hi, bw_ref):
-    """Dense BW evaluation over the whole transparent table, ONCE per tile:
-    every candidate (t >= T_MIN, t < t_hi, u/v inside) as [RT, T] matrices.
-    The walk's per-iteration work then reduces to a t > t_prev mask +
-    min/argmin extraction (_extract) — the expensive geometry pass is not
-    re-paid per iteration (it used to be, as a per-iteration cast)."""
+def _eval_cols(ox, oy, oz, dx, dy, dz, t_hi, bw):
+    """Dense BW evaluation over one column window: every candidate
+    (t >= T_MIN, t < t_hi, u/v inside) as [RT, W] matrices."""
     def rc(a):
         return a[:, None]
 
     def tr(c):
-        return bw_ref[c, :][None, :]
+        return bw[c, :][None, :]
 
     dn = rc(dx) * tr(0) + rc(dy) * tr(1) + rc(dz) * tr(2)
     ok = jnp.abs(dn) >= DET_EPS
@@ -106,22 +95,134 @@ def _eval_mats(ox, oy, oz, dx, dy, dz, t_hi, bw_ref):
     return jnp.where(ok, t, jnp.inf), u, v, dn
 
 
-def _extract(t_mat, u_mat, v_mat, dn_mat, t_prev, need_dn=True):
+def _slab_groups(ox, oy, oz, dx, dy, dz, t_hi, grp_ref):
+    """[GP] bool per-tile group mask: 128-column groups of the (spatially
+    Morton-sorted) transparent table whose AABB at least one ACTIVE lane's
+    segment [0, t_hi] enters. CONSERVATIVE per lane: a triangle hit with
+    t in [T_MIN, t_hi) implies the ray enters its group's AABB inside the
+    window, so skipping unhit groups provably drops only all-inf columns.
+    grp_ref: [7, GP] (min xyz, max xyz, valid flag); zero-direction
+    components use the flat kernels' guarded-reciprocal convention."""
+    def rc(a):
+        return a[:, None]
+
+    def g(c):
+        return grp_ref[c, :][None, :]
+
+    inv_dx = jnp.where(dx == 0.0, 1e30, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
+    inv_dy = jnp.where(dy == 0.0, 1e30, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
+    inv_dz = jnp.where(dz == 0.0, 1e30, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
+    t0x = (g(0) - rc(ox)) * rc(inv_dx)
+    t1x = (g(3) - rc(ox)) * rc(inv_dx)
+    t0y = (g(1) - rc(oy)) * rc(inv_dy)
+    t1y = (g(4) - rc(oy)) * rc(inv_dy)
+    t0z = (g(2) - rc(oz)) * rc(inv_dz)
+    t1z = (g(5) - rc(oz)) * rc(inv_dz)
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z))
+    hit = ((tf >= jnp.maximum(tn, 0.0)) & (tn <= rc(t_hi))
+           & (rc(t_hi) >= 0.0) & (g(6) > 0.0))
+    # float mask [GP]: Mosaic only squeezes 32-bit scalars, not bools
+    return jnp.max(jnp.where(hit, 1.0, 0.0), axis=0)
+
+
+def _eval_mats(ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref=None):
+    """Candidate matrices over the whole transparent table, ONCE per tile.
+    The walk's per-iteration work then reduces to a t > t_prev mask +
+    min/argmin extraction (_extract) — the expensive geometry pass is not
+    re-paid per iteration (it used to be, as a per-iteration cast).
+
+    With ``grp_ref`` (the spatially sorted table's 128-column group AABBs),
+    each group is evaluated under a lax.cond gated by the per-tile slab
+    mask — unhit groups emit inf/zero columns without paying the ~50-pass
+    dense evaluation (value-identical by _slab_groups' conservativeness;
+    column order, and therefore argmin tie-breaks, unchanged).
+
+    MEASURED NEGATIVE on the showcase (alpha kernel 14.8 -> 18.6 ms per
+    2^18-lane launch): its long camera/shadow segments cross a mean 2.5 of
+    5 group AABBs, and the per-group cond + concat overhead (~2.7 us/tile)
+    exceeds the ~50% eval savings. Off by default (PT_TRWALK_GROUPS=1
+    opt-in) — scenes whose alpha content clusters tightly against short
+    segments are the candidates."""
+    T = bw_ref.shape[1]
+    if (grp_ref is None or T <= 128
+            or os.environ.get("PT_TRWALK_GROUPS") != "1"):
+        return _eval_cols(ox, oy, oz, dx, dy, dz, t_hi, bw_ref[...])
+    rt = ox.shape[0]
+    ghit = _slab_groups(ox, oy, oz, dx, dy, dz, t_hi, grp_ref)
+    parts = []
+    for s in range(T // 128):
+        start = pl.multiple_of(s * 128, 128)
+        bw = bw_ref[:, pl.ds(start, 128)]
+        parts.append(jax.lax.cond(
+            ghit[s] > 0.0,
+            lambda bw=bw: _eval_cols(ox, oy, oz, dx, dy, dz, t_hi, bw),
+            lambda: (jnp.full((rt, 128), jnp.inf, jnp.float32),
+                     jnp.zeros((rt, 128), jnp.float32),
+                     jnp.zeros((rt, 128), jnp.float32),
+                     jnp.zeros((rt, 128), jnp.float32))))
+    return tuple(jnp.concatenate([p[i] for p in parts], axis=1)
+                 for i in range(4))
+
+
+def _uv_mats(u_mat, v_mat, rows_ref):
+    """Dense texture-UV matrices for ALL candidates, ONCE per tile:
+    uv = uv0 + u*e1uv + v*e2uv with the exact expression shape of the
+    per-lane post-pick computation (rows hold uv0/e1/e2 pre-diffed in f32).
+    Precomputing these turns each walk iteration's SIX uv-row picks + the
+    per-lane affine math into TWO dense-matrix picks — per-iteration pick
+    cost is the walk's floor once the geometry pass is hoisted."""
+    def tr(c):
+        return rows_ref[c, :][None, :]
+
+    uvx = tr(0) + u_mat * tr(2) + v_mat * tr(4)
+    uvy = tr(1) + u_mat * tr(3) + v_mat * tr(5)
+    return uvx, uvy
+
+
+def _extract(t_mat, t_prev):
     """Next candidate past t_prev per lane: the strict t > t_prev advance
     (equal-t duplicates skipped, ties to the lowest column — the cast
-    walk's exact contract)."""
+    walk's exact contract). Returns (tmin, col, sel one-hot)."""
     rt, T = t_mat.shape
     tm = jnp.where(t_mat > t_prev[:, None], t_mat, jnp.inf)
     tmin = jnp.min(tm, axis=1)
     col = jnp.argmin(tm, axis=1).astype(jnp.int32)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (rt, T), 1)
     sel = lanes == col[:, None]
+    return tmin, col, sel
 
-    def pick(a):
-        return jnp.sum(jnp.where(sel, a, 0.0), axis=1)
 
-    pdn = pick(dn_mat) if need_dn else None
-    return tmin, col, pick(u_mat), pick(v_mat), pdn, sel
+def _pick(sel, mat):
+    """Masked-reduce pick of a dense [RT, T] candidate matrix at sel."""
+    return jnp.sum(jnp.where(sel, mat, 0.0), axis=1)
+
+
+def _prod_cols(m, interp: bool):
+    """Per-row product of a [RT, B] matrix (B a multiple of 128).
+
+    Mosaic has no reduce_prod lowering: fold the 128-column chunks
+    together elementwise, then a rotate-multiply butterfly (shifts
+    64..1) leaves every lane holding the row product; extract lane 0.
+    Product order therefore reassociates vs a left-to-right chain —
+    covered by the dense-transmittance rounding note. ``interp`` uses
+    jnp.prod directly (pltpu.roll has no interpret rule)."""
+    if interp:
+        return jnp.prod(m, axis=1)
+    rt, b = m.shape
+    acc = m[:, 0:128]
+    for c in range(128, b, 128):
+        acc = acc * m[:, c:c + 128]
+    sh = 64
+    while sh >= 1:
+        acc = acc * pltpu.roll(acc, sh, 1)
+        sh //= 2
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rt, 128), 1)
+    return jnp.sum(jnp.where(lanes == 0, acc, 0.0), axis=1)
 
 
 def _pick_rows(sel, rows_ref, idxs):
@@ -131,19 +232,6 @@ def _pick_rows(sel, rows_ref, idxs):
         row = rows_ref[c, :][None, :]
         outs.append(jnp.sum(jnp.where(sel, row, 0.0), axis=1))
     return outs
-
-
-def _pick_rows_mxu(sel, rows_t_ref):
-    """ALL 8 attribute rows picked in one MXU matmul: sel [RT,Tp] one-hot
-    f32 @ rows_t [Tp,8] at HIGHEST precision. Exact: HIGHEST decomposes
-    each f32 input into 3 bf16 parts; a one-hot selector splits as itself,
-    so each output is the f32 sum of the selected value's exact bf16
-    parts = the value, bit-for-bit. Replaces 8 masked [RT,Tp] reductions."""
-    picks = jax.lax.dot_general(
-        sel.astype(jnp.float32), rows_t_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # [RT, 8]
-    return [picks[:, c] for c in range(8)]
 
 
 def _texel(uvx, uvy, tex_ref, lut_ref, texw, texh):
@@ -166,8 +254,8 @@ def _texel(uvx, uvy, tex_ref, lut_ref, texw, texh):
     return jnp.sum(jnp.where(lsel, lut_ref[0, :][None, :], 0.0), axis=1)
 
 
-def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, rows_ref,
-                  rows_t_ref, tex_ref, lut_ref, fout_ref, iout_ref, *, T,
+def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, grp_ref,
+                  rows_ref, tex_ref, lut_ref, fout_ref, iout_ref, *, T,
                   texw, texh, steps_cap, n_tiles, textured):
     """In-kernel stochastic alpha walk (the transparent half of
     _alpha_walk_partitioned). Per-lane outputs (fout [8,R], iout [1,R]):
@@ -189,39 +277,34 @@ def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, rows_ref,
                 jnp.full((rt,), -1, jnp.int32),
                 jnp.zeros((rt,), jnp.float32),
                 jnp.zeros((rt,), jnp.float32),
-                jnp.zeros((rt,), jnp.float32),
-                jnp.zeros((rt,), jnp.float32),
-                jnp.zeros((rt,), jnp.float32),
                 jnp.full((rt,), -1.0, jnp.float32),
                 jnp.where(t_op >= 0.0, 1.0, 0.0))
+        zero = jnp.zeros((rt,), jnp.float32)
 
         def idle():
-            return init[1:]
+            return init[1:] + (zero, zero, zero)
 
         def walk():
             t_hi = jnp.where(t_op < 0.0, -1.0, t_op)  # inactive: no window
             t_mat, u_mat, v_mat, dn_mat = _eval_mats(
-                ox, oy, oz, dx, dy, dz, t_hi, bw_ref)
+                ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref)
+            if textured:
+                # uv = uv0 + u*(uv1-uv0) + v*(uv2-uv0): rows hold uv0/e1/e2
+                # pre-diffed in f32 (IEEE sub = the XLA path's runtime sub).
+                # Dense, once per tile — iterations pick, never recompute.
+                uvx_mat, uvy_mat = _uv_mats(u_mat, v_mat, rows_ref)
 
             def cond(st):
-                return (st[0] < steps_cap) & jnp.any(st[9] > 0.0)
+                return (st[0] < steps_cap) & jnp.any(st[6] > 0.0)
 
             def body(st):
-                (k, sel_t, sel_col, sel_u, sel_v, sel_dn, seen, accepted,
-                 t_prev, active) = st
-                tmin, col, pu, pv, pdn, sel = _extract(
-                    t_mat, u_mat, v_mat, dn_mat, t_prev)
+                (k, sel_t, sel_col, seen, accepted, t_prev, active) = st
+                tmin, col, sel = _extract(t_mat, t_prev)
                 found = (active > 0.0) & jnp.isfinite(tmin)
                 if textured:
-                    # uv = uv0 + u*(uv1-uv0) + v*(uv2-uv0): rows hold
-                    # uv0/e1/e2 pre-diffed in f32 (IEEE sub = the XLA
-                    # path's runtime sub).
-                    (p0x, p0y, pe1x, pe1y, pe2x, pe2y, pfac,
-                     phas) = (_pick_rows_mxu(sel, rows_t_ref)
-                              if TRWALK_MXUPICK
-                              else _pick_rows(sel, rows_ref, range(8)))
-                    uvx = p0x + pu * pe1x + pv * pe2x
-                    uvy = p0y + pu * pe1y + pv * pe2y
+                    uvx = _pick(sel, uvx_mat)
+                    uvy = _pick(sel, uvy_mat)
+                    pfac, phas = _pick_rows(sel, rows_ref, (6, 7))
                     texel = _texel(uvx, uvy, tex_ref, lut_ref, texw, texh)
                     op = jnp.where(phas > 0.0, texel * pfac, pfac)
                 else:
@@ -233,21 +316,29 @@ def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, rows_ref,
                 fnd = found
                 sel_t = jnp.where(fnd, tmin, sel_t)
                 sel_col = jnp.where(fnd, col, sel_col)
-                sel_u = jnp.where(fnd, pu, sel_u)
-                sel_v = jnp.where(fnd, pv, sel_v)
-                sel_dn = jnp.where(fnd, pdn, sel_dn)
                 seen = jnp.maximum(seen, jnp.where(fnd, 1.0, 0.0))
                 accepted = jnp.maximum(accepted,
                                        jnp.where(fnd & accept, 1.0, 0.0))
                 active = jnp.where(fnd & ~accept, 1.0, 0.0)
                 t_prev = jnp.where(active > 0.0, tmin, t_prev)
-                return (k + 1, sel_t, sel_col, sel_u, sel_v, sel_dn, seen,
-                        accepted, t_prev, active)
+                return (k + 1, sel_t, sel_col, seen, accepted, t_prev,
+                        active)
 
-            return jax.lax.while_loop(cond, body, init)[1:]
+            (sel_t, sel_col, seen, accepted, t_prev,
+             active) = jax.lax.while_loop(cond, body, init)[1:]
+            # The selected candidate's u/v/dn, picked ONCE from the dense
+            # matrices at the final selection (identical values to the
+            # per-iteration incremental picks they replace; sel_col == -1
+            # matches no lane, leaving the zeros unseen lanes always had).
+            lanes = jax.lax.broadcasted_iota(
+                jnp.int32, (rt, t_mat.shape[1]), 1)
+            fsel = lanes == sel_col[:, None]
+            return (sel_t, sel_col, seen, accepted, t_prev, active,
+                    _pick(fsel, u_mat), _pick(fsel, v_mat),
+                    _pick(fsel, dn_mat))
 
-        (sel_t, sel_col, sel_u, sel_v, sel_dn, seen, accepted, t_prev,
-         active) = jax.lax.cond(jnp.any(t_op >= 0.0), walk, idle)
+        (sel_t, sel_col, seen, accepted, t_prev, active, sel_u, sel_v,
+         sel_dn) = jax.lax.cond(jnp.any(t_op >= 0.0), walk, idle)
 
         fout_ref[0, pl.ds(base, WALK_TILE)] = sel_t
         fout_ref[1, pl.ds(base, WALK_TILE)] = sel_u
@@ -269,9 +360,9 @@ def _rnd_at(rnd_ref, k, base):
     return rnd_ref[pl.ds(k, 1), pl.ds(base, WALK_TILE)][0]
 
 
-def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, rows_ref, rows_t_ref,
+def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
                   tex_ref, lut_ref, fout_ref, *, T, texw, texh, steps_cap,
-                  n_tiles, textured):
+                  n_tiles, textured, interp):
     """In-kernel shadow transmittance walk over the stacked [L*R] lanes of
     _shadow_attenuation_multi.
 
@@ -305,18 +396,25 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, rows_ref, rows_t_ref,
         def idle():
             return init[1:]
 
-        def walk():
+        def rc(a):
+            return a[:, None]
+
+        def walk_loop():
+            """Sequential ascending-t walk — needed only when occluder
+            texels depend on the OCCLUDER's uv (textured directional/mixed
+            tiles): their per-candidate texel fetch rides the one-at-a-time
+            extraction."""
             t_hi = jnp.where(pd >= 0.0, jnp.inf, -1.0)
             t_mat, u_mat, v_mat, _ = _eval_mats(
-                ox, oy, oz, dx, dy, dz, t_hi, bw_ref)
+                ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref)
+            uvx_mat, uvy_mat = _uv_mats(u_mat, v_mat, rows_ref)
 
             def cond(st):
                 return (st[0] < steps_cap) & jnp.any(st[3] > 0.0)
 
             def body(st):
                 k, trans, t_prev, walking = st
-                tmin, col, pu, pv, _, sel = _extract(
-                    t_mat, u_mat, v_mat, None, t_prev, need_dn=False)
+                tmin, col, sel = _extract(t_mat, t_prev)
                 found = (walking > 0.0) & jnp.isfinite(tmin)
                 # Behind-the-light cutoff, measured from the ORIGINAL
                 # surface (jnp.linalg.norm = sqrt of the left-assoc
@@ -327,23 +425,16 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, rows_ref, rows_t_ref,
                 ocz = oz + t_safe * dz - spz
                 occ_dist = jnp.sqrt(ocx * ocx + ocy * ocy + ocz * ocz)
                 found = found & ~(is_pt & (occ_dist > pd))
-                if textured:
-                    (p0x, p0y, pe1x, pe1y, pe2x, pe2y, pfac,
-                     phas) = (_pick_rows_mxu(sel, rows_t_ref)
-                              if TRWALK_MXUPICK
-                              else _pick_rows(sel, rows_ref, range(8)))
-                    uvx = p0x + pu * pe1x + pv * pe2x
-                    uvy = p0y + pu * pe1y + pv * pe2y
-                    # Point lanes: ORIGINAL hit's UV (mod.rs:324 quirk).
-                    uvx = jnp.where(is_pt, ouvx, uvx)
-                    uvy = jnp.where(is_pt, ouvy, uvy)
-                    texel = _texel(uvx, uvy, tex_ref, lut_ref, texw, texh)
-                    # Original-hit TYPE: sphere originals factor-only.
-                    use_factor = (phas <= 0.0) | (is_pt & osimple)
-                    op = jnp.where(use_factor, pfac, texel * pfac)
-                else:
-                    pfac = _pick_rows(sel, rows_ref, (6,))[0]
-                    op = pfac
+                pfac, phas = _pick_rows(sel, rows_ref, (6, 7))
+                uvx = _pick(sel, uvx_mat)
+                uvy = _pick(sel, uvy_mat)
+                # Point lanes: ORIGINAL UV (mod.rs:324 quirk).
+                uvx = jnp.where(is_pt, ouvx, uvx)
+                uvy = jnp.where(is_pt, ouvy, uvy)
+                texel = _texel(uvx, uvy, tex_ref, lut_ref, texw, texh)
+                # Original-hit TYPE: sphere originals factor-only.
+                use_factor = (phas <= 0.0) | (is_pt & osimple)
+                op = jnp.where(use_factor, pfac, texel * pfac)
                 trans = jnp.where(found, trans * (1.0 - op), trans)
                 walking = jnp.where(found & (trans != 0.0), 1.0, 0.0)
                 t_prev = jnp.where(walking > 0.0, tmin, t_prev)
@@ -351,8 +442,84 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, rows_ref, rows_t_ref,
 
             return jax.lax.while_loop(cond, body, init)[1:]
 
-        trans, t_prev, walking = jax.lax.cond(jnp.any(pd >= 0.0), walk,
-                                              idle)
+        def make_walk_dense(pt_texel: bool):
+            """LOOP-FREE transmittance: the walk's result is order-
+            independent, so when every candidate's opacity is computable
+            densely — factor-only scenes, or all-point textured tiles
+            (the mod.rs:324 quirk fixes the texel at the ORIGINAL hit's
+            UV, one fetch per lane) — trans collapses to one masked
+            column product:
+
+            - behind-the-light stop: the sequential walk stops at the
+              FIRST candidate (ascending t) with occ_dist > pd, applying
+              nothing from there on. cut = min t over such candidates;
+              include exactly t < cut — reproduces the stop even where
+              occ_dist is non-monotone near the bias origin.
+            - trans == 0 stop: 0 absorbs every further factor — the
+              product over the full include set is identical.
+            - rounding: the product reassociates vs the ascending-t
+              chain (ulp-level, only on lanes with 2+ fractional
+              occluders); exact-equal-t duplicate pairs (shared-edge
+              crossings, measure-zero) each contribute a factor, where
+              the strict t > t_prev advance collapses them — the
+              reference's sorted-Vec walk (mod.rs:283-331) also applies
+              both, so the dense form is if anything closer to it. The
+              parity gates bound both as divergence rates.
+
+            Consumes EVERY candidate: steps_cap does not apply and the
+            residual cast walk never runs (still_walking = 0)."""
+            def walk():
+                t_hi = jnp.where(pd >= 0.0, jnp.inf, -1.0)
+                t_mat, u_mat, v_mat, _ = _eval_mats(
+                    ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref)
+                finite = jnp.isfinite(t_mat)
+                tc = jnp.where(finite, t_mat, 0.0)
+                ocx = rc(ox) + tc * rc(dx) - rc(spx)
+                ocy = rc(oy) + tc * rc(dy) - rc(spy)
+                ocz = rc(oz) + tc * rc(dz) - rc(spz)
+                occ_dist = jnp.sqrt(ocx * ocx + ocy * ocy + ocz * ocz)
+                # bool column reshapes are not lowerable (i1 minor-dim
+                # insertion): broadcast the masks as f32
+                ptf = rc(jnp.where(is_pt, 1.0, 0.0)) > 0.0
+                behind = finite & ptf & (occ_dist > rc(pd))
+                cut = jnp.min(jnp.where(behind, t_mat, jnp.inf), axis=1)
+                include = finite & (t_mat < cut[:, None])
+                fac = rows_ref[6, :][None, :]
+                if pt_texel:
+                    texel0 = _texel(ouvx, ouvy, tex_ref, lut_ref, texw,
+                                    texh)
+                    has = rows_ref[7, :][None, :]
+                    use_factor = ((has <= 0.0)
+                                  | (rc(jnp.where(osimple, 1.0, 0.0))
+                                     > 0.0))
+                    op = jnp.where(use_factor, fac, texel0[:, None] * fac)
+                else:
+                    op = jnp.broadcast_to(fac, t_mat.shape)
+                trans = _prod_cols(jnp.where(include, 1.0 - op, 1.0),
+                                   interp)
+                return (jnp.where(pd >= 0.0, trans, 1.0),
+                        jnp.full((rt,), -1.0, jnp.float32),
+                        jnp.zeros((rt,), jnp.float32))
+
+            return walk
+
+        if textured:
+            # Tile dispatch: all active lanes point -> loop-free product
+            # (lanes stack per light, [L*R] with R a tile multiple, so
+            # every tile is single-light and the fast path covers every
+            # point-light tile; the loop handles directional/mixed tiles
+            # with exact per-lane `is_pt` wheres).
+            active0 = pd >= 0.0
+            tile_all_pt = ~jnp.any(active0 & ~is_pt)
+
+            def walk_branch():
+                return jax.lax.cond(tile_all_pt, make_walk_dense(True),
+                                    walk_loop)
+        else:
+            walk_branch = make_walk_dense(False)
+
+        trans, t_prev, walking = jax.lax.cond(jnp.any(pd >= 0.0),
+                                              walk_branch, idle)
 
         fout_ref[0, pl.ds(base, WALK_TILE)] = trans
         fout_ref[1, pl.ds(base, WALK_TILE)] = t_prev
@@ -367,22 +534,21 @@ def _pad_rays(r):
 
 
 def _tables(scene, live_factor):
-    """(rows, rows_t), with the opacity-factor row rebuilt from the LIVE
-    mat_opacity_factor table when ``live_factor`` (training mode: a train
-    step may dataclasses.replace the factor table — values only, detached)."""
-    rows, rows_t = scene.tr_rows, scene.tr_rows_t
+    """The per-triangle attribute rows, with the opacity-factor row rebuilt
+    from the LIVE mat_opacity_factor table when ``live_factor`` (training
+    mode: a train step may dataclasses.replace the factor table — values
+    only, detached)."""
+    rows = scene.tr_rows
     if live_factor:
         f = jax.lax.stop_gradient(
             scene.mat_opacity_factor[scene.tr_model].astype(jnp.float32))
         rows = jnp.concatenate([rows[:6], f[None, :], rows[7:]], axis=0)
-        rows_t = jnp.concatenate([rows_t[:, :6], f[:, None], rows_t[:, 7:]],
-                                 axis=1)
-    return rows, rows_t
+    return rows
 
 
 @functools.partial(jax.jit, static_argnames=(
     "T", "texw", "texh", "steps_cap", "textured", "interpret"))
-def _alpha_launch(o_t, d_t, top, rnd, bw, rows, rows_t, tex, lut, T, texw,
+def _alpha_launch(o_t, d_t, top, rnd, bw, grp, rows, tex, lut, T, texw,
                   texh, steps_cap, textured, interpret=False):
     r = o_t.shape[1]
     kernel = functools.partial(
@@ -398,18 +564,18 @@ def _alpha_launch(o_t, d_t, top, rnd, bw, rows, rows_t, tex, lut, T, texw,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(o_t, d_t, top, rnd, bw, rows, rows_t, tex, lut)
+    )(o_t, d_t, top, rnd, bw, grp, rows, tex, lut)
     return fout, iout
 
 
 @functools.partial(jax.jit, static_argnames=(
     "T", "texw", "texh", "steps_cap", "textured", "interpret"))
-def _trans_launch(o_t, d_t, aux, bw, rows, rows_t, tex, lut, T, texw,
+def _trans_launch(o_t, d_t, aux, bw, grp, rows, tex, lut, T, texw,
                   texh, steps_cap, textured, interpret=False):
     r = o_t.shape[1]
     kernel = functools.partial(
         _trans_kernel, T=T, texw=texw, texh=texh, steps_cap=steps_cap,
-        n_tiles=r // WALK_TILE, textured=textured)
+        n_tiles=r // WALK_TILE, textured=textured, interp=interpret)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     (fout,) = pl.pallas_call(
         kernel,
@@ -419,7 +585,7 @@ def _trans_launch(o_t, d_t, aux, bw, rows, rows_t, tex, lut, T, texw,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(o_t, d_t, aux, bw, rows, rows_t, tex, lut)
+    )(o_t, d_t, aux, bw, grp, rows, tex, lut)
     return fout
 
 
@@ -447,9 +613,9 @@ def alpha_walk_kernel(scene, o, d, t_op, rnd, steps_cap, interpret=False,
     d_t = _pad_to(d.T, rp, 1.0)
     top = _pad_to(t_op[None, :], rp, -1.0)
     rndp = _pad_to(rnd, rp, 1.0)
-    rows, rows_t = _tables(scene, live_factor)
+    rows = _tables(scene, live_factor)
     fout, iout = _alpha_launch(
-        o_t, d_t, top, rndp, scene.tr_bw, rows, rows_t,
+        o_t, d_t, top, rndp, scene.tr_bw, scene.tr_grp, rows,
         scene.tr_tex8, scene.tr_lut, scene.tr_bw.shape[1],
         scene.tr_texw, scene.tr_texh, steps_cap, scene.tr_textured,
         interpret=interpret)
@@ -482,9 +648,9 @@ def trans_walk_kernel(scene, o, d, pd, is_pt, surf_pos, orig_uv, orig_simple,
         jnp.where(orig_simple, 1.0, 0.0)[None, :],
     ], axis=0)
     aux = _pad_to(aux, rp, -1.0)
-    rows, rows_t = _tables(scene, live_factor)
+    rows = _tables(scene, live_factor)
     fout = _trans_launch(
-        o_t, d_t, aux, scene.tr_bw, rows, rows_t,
+        o_t, d_t, aux, scene.tr_bw, scene.tr_grp, rows,
         scene.tr_tex8, scene.tr_lut, scene.tr_bw.shape[1], scene.tr_texw,
         scene.tr_texh, steps_cap, scene.tr_textured, interpret=interpret)
     return fout[0, :r], fout[1, :r], fout[2, :r] > 0.0

@@ -140,25 +140,33 @@ def _baldwin_weber_rows(sl_tris: np.ndarray) -> np.ndarray:
     return out
 
 
-def _build_tr_walk_tables(sl_bw, sl_attr, nblk_op, n_blocks, block,
-                          atlas_data, offsets, widths, heights):
+def _build_tr_walk_tables(sl_bw, sl_attr, sl_tris, nblk_op, n_blocks,
+                          block, atlas_data, offsets, widths, heights):
     """Compact transparent-partition tables for the fused in-kernel walks
     (ops/pallas_trwalk.py).
 
-    Returns (tr_bw [16,Tp], tr_rows [8,Tp], tex8 [Hp,Wp] u8-values-as-f32,
-    lut [1,256], texw, texh, textured, ok). ``ok`` is False (placeholders
-    returned) unless: the scene HAS a transparent partition, it is small
-    enough to keep VMEM-resident, its models reference at most ONE distinct
-    opacity texture, that texture fits the VMEM budget, and its f32 atlas
-    data is EXACTLY u8/255 (always true for PNG-sourced textures; verified
-    here so the in-kernel u8 + LUT fetch is bit-identical to the XLA
-    gather fetch).
+    Returns (tr_bw [16,Tp], tr_rows [8,Tp], tr_grp [7,GP], colmap, modelmap,
+    tex8 [Hp,Wp] u8-values-as-f32, lut [1,256], texw, texh, textured, ok).
+    ``ok`` is False (placeholders returned) unless: the scene HAS a
+    transparent partition, it is small enough to keep VMEM-resident, its
+    models reference at most ONE distinct opacity texture, that texture fits
+    the VMEM budget, and its f32 atlas data is EXACTLY u8/255 (always true
+    for PNG-sourced textures; verified here so the in-kernel u8 + LUT fetch
+    is bit-identical to the XLA gather fetch).
+
+    Columns are MORTON-SORTED by triangle centroid so each 128-column group
+    is a tight spatial cluster; tr_grp rows 0-5 hold each group's AABB
+    (over full triangle extents) and row 6 a valid flag. The kernels slab-
+    test groups per ray tile and skip the dense evaluation of unhit groups
+    (pallas_trwalk._eval_mats) — value-identical because a triangle hit
+    inside a lane's [T_MIN, t_hi) window implies that lane's segment enters
+    the group AABB.
     """
     lut = (np.arange(256).astype(np.float64) / 255.0).astype(np.float32)
     lut_row = lut[None, :]
     placeholder = (np.zeros((16, 128), np.float32),
                    np.zeros((8, 128), np.float32),
-                   np.zeros((128, 8), np.float32),
+                   np.zeros((7, 128), np.float32),
                    np.zeros(128, np.int32),
                    np.zeros(128, np.int32),
                    np.zeros((8, 128), np.float32), lut_row, 1, 1,
@@ -176,9 +184,51 @@ def _build_tr_walk_tables(sl_bw, sl_attr, nblk_op, n_blocks, block,
     tp = len(idx)
     if tp == 0 or tp > int(os.environ.get("PT_TRWALK_MAX", "4096")):
         return placeholder
+    # Morton-sort the compact columns by triangle centroid: spatially
+    # coherent 128-column groups make the kernels' per-tile group pruning
+    # effective (the packed model-emission order scatters foliage cards
+    # across the whole table, which defeated column-group pruning in the
+    # dense k-hit kernel — PERF.md round 3).
+    tris = sl_tris[lo:hi][idx]
+    v0 = tris[:, 0:3]
+    v1 = v0 + tris[:, 3:6]
+    v2 = v0 + tris[:, 6:9]
+    cen = (v0 + v1 + v2) / 3.0
+    mn = cen.min(axis=0)
+    # UNIFORM scale (largest extent): per-axis normalization would stretch
+    # a thin axis (e.g. foliage height) to full Morton weight and scramble
+    # the spatial clusters the groups exist to capture.
+    ext = max(float((cen.max(axis=0) - mn).max()), 1e-12)
+    q = np.clip((cen - mn) / ext * 1023.0, 0, 1023).astype(np.int64)
+
+    def spread(b):  # interleave 10 bits with 2-bit gaps
+        b = (b | (b << 16)) & 0x030000FF
+        b = (b | (b << 8)) & 0x0300F00F
+        b = (b | (b << 4)) & 0x030C30C3
+        b = (b | (b << 2)) & 0x09249249
+        return b
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    order = np.argsort(code, kind="stable")
+    idx = idx[order]
+    v0, v1, v2 = v0[order], v1[order], v2[order]
+
     tp_pad = max(128, ((tp + 127) // 128) * 128)
     tr_bw = np.zeros((16, tp_pad), np.float32)  # pad cols: d.n = 0 rejects
     tr_bw[:, :tp] = sl_bw[:, lo:hi][:, idx]
+
+    # Per-128-column-group AABBs over FULL triangle extents (+ valid flag).
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    gp_pad = max(128, ((tp_pad // 128 + 127) // 128) * 128)
+    tr_grp = np.zeros((7, gp_pad), np.float32)
+    for g in range(tp_pad // 128):
+        sl = slice(g * 128, min((g + 1) * 128, tp))
+        if sl.start >= tp:
+            break
+        tr_grp[0:3, g] = tmin[sl].min(axis=0)
+        tr_grp[3:6, g] = tmax[sl].max(axis=0)
+        tr_grp[6, g] = 1.0
     attr = attr_all[idx]
     colmap = np.zeros(tp_pad, np.int32)
     colmap[:tp] = lo + idx
@@ -214,10 +264,7 @@ def _build_tr_walk_tables(sl_bw, sl_attr, nblk_op, n_blocks, block,
         tex8 = np.zeros((hp, wp), np.float32)
         tex8[:h, :w] = ru.reshape(h, w)
         rows[7, :tp] = (tids >= 0).astype(np.float32)
-    # Transposed copy for the one-matmul pick of all 8 attribute rows
-    # (sel [RT,Tp] @ rows_t [Tp,8] with HIGHEST precision — exact for
-    # one-hot selectors, see pallas_trwalk._pick_rows_mxu).
-    return (tr_bw, rows, np.ascontiguousarray(rows.T), colmap, modelmap,
+    return (tr_bw, rows, tr_grp, colmap, modelmap,
             tex8, lut_row, w, h, textured, True)
 
 
@@ -434,7 +481,7 @@ class DeviceScene:
     tr_bw: jax.Array  # [16, Tp] transparent slice of sl_bw_t
     # Rows: uv0.xy, (uv1-uv0).xy, (uv2-uv0).xy, opacity factor, has_tex.
     tr_rows: jax.Array  # [8, Tp] f32
-    tr_rows_t: jax.Array  # [Tp, 8] f32 transposed copy (one-matmul picks)
+    tr_grp: jax.Array  # [7, GP] Morton group AABBs + valid flag
     # Compact column -> GLOBAL packed slot id (columns hold only REAL
     # transparent triangles; block pad slots are dropped at build).
     tr_colmap: jax.Array  # [Tp] i32
@@ -1055,11 +1102,11 @@ def build_device_scene(scene: isf.Scene, root,
 
     atlas_data = np.concatenate(atlas.chunks, axis=0)
     sl_bw_np = _baldwin_weber_rows(sl_tris)
-    (tr_bw_np, tr_rows_np, tr_rows_t_np, tr_colmap_np, tr_model_np,
+    (tr_bw_np, tr_rows_np, tr_grp_np, tr_colmap_np, tr_model_np,
      tr_tex8_np, tr_lut_np, tr_texw, tr_texh, tr_textured, tr_kernel_ok) = \
         _build_tr_walk_tables(
-            sl_bw_np, sl_attr, nblk_op, n_blocks, SL_BLOCK, atlas_data,
-            atlas.offsets, atlas.widths, atlas.heights)
+            sl_bw_np, sl_attr, sl_tris, nblk_op, n_blocks, SL_BLOCK,
+            atlas_data, atlas.offsets, atlas.widths, atlas.heights)
 
     import jax.numpy as jnp
 
@@ -1151,7 +1198,7 @@ def build_device_scene(scene: isf.Scene, root,
         tr_prefilter=jnp.asarray(tr_prefilter),
         tr_bw=jnp.asarray(tr_bw_np),
         tr_rows=jnp.asarray(tr_rows_np),
-        tr_rows_t=jnp.asarray(tr_rows_t_np),
+        tr_grp=jnp.asarray(tr_grp_np),
         tr_colmap=jnp.asarray(tr_colmap_np),
         tr_model=jnp.asarray(tr_model_np),
         tr_tex8=jnp.asarray(tr_tex8_np, jnp.bfloat16),
