@@ -740,10 +740,25 @@ def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
             prim=jnp.where(sel_packed >= 0, prim, 0),
             u=sel_u, v=sel_v, backface=sel_bf, packed=sel_packed)
         if kcap < steps:
+            # Residual gated by lax.cond: the while_loop's first-iteration
+            # check alone costs real time per bounce (XLA copies the large
+            # HitRecord carry in/out of the loop even when it runs zero
+            # iterations), and `still` lanes only exist for walks deeper
+            # than the kernel cap (never on the measured scenes).
             condf, stepf = cast_step(o, d, pixel_ids, t_op)
-            _, sel, seen_tr, accepted, _, _ = jax.lax.while_loop(
-                condf, stepf,
-                (jnp.int32(kcap), sel, seen_tr, accepted, t_prev, still))
+
+            def residual(sel, seen_tr, accepted, t_prev, still):
+                out = jax.lax.while_loop(
+                    condf, stepf,
+                    (jnp.int32(kcap), sel, seen_tr, accepted, t_prev,
+                     still))
+                return out[1], out[2], out[3]
+
+            sel, seen_tr, accepted = jax.lax.cond(
+                jnp.any(still), residual,
+                lambda sel, seen_tr, accepted, t_prev, still:
+                    (sel, seen_tr, accepted),
+                sel, seen_tr, accepted, t_prev, still)
         sel = jax.lax.stop_gradient(sel)
         seen_tr = jax.lax.stop_gradient(seen_tr)
         accepted = jax.lax.stop_gradient(accepted)
@@ -1183,10 +1198,19 @@ def _shadow_attenuation_multi(scene, s_o, dirs, actives, colors, spec, steps,
             jnp.any(walking0), run_kernel, no_walk,
             o3, d3, pd3, is_pt, sp3, ouv3, osimple3, walking0))
         if kcap < steps:
+            # Residual gated by lax.cond (see _alpha_walk_partitioned).
             condf, stepf = cast_step(o3, d3, pd3, is_pt, sp3, ouv3,
                                      osimple3)
-            _, trans3, _, _ = jax.lax.while_loop(
-                condf, stepf, (jnp.int32(kcap), trans3, t_prev3, still3))
+
+            def residual(trans3, t_prev3, still3):
+                return jax.lax.while_loop(
+                    condf, stepf,
+                    (jnp.int32(kcap), trans3, t_prev3, still3))[1]
+
+            trans3 = jax.lax.cond(
+                jnp.any(still3), residual,
+                lambda trans3, t_prev3, still3: trans3,
+                trans3, t_prev3, still3)
             trans3 = jax.lax.stop_gradient(trans3)
         outs = []
         for i in range(L):

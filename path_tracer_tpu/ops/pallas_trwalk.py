@@ -272,22 +272,29 @@ def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, grp_ref,
         t_op = top_ref[0, pl.ds(base, WALK_TILE)]  # <0 => lane inactive
 
         rt = WALK_TILE
-        init = (jnp.int32(0),
-                jnp.full((rt,), jnp.inf, jnp.float32),
-                jnp.full((rt,), -1, jnp.int32),
-                jnp.zeros((rt,), jnp.float32),
-                jnp.zeros((rt,), jnp.float32),
-                jnp.full((rt,), -1.0, jnp.float32),
-                jnp.where(t_op >= 0.0, 1.0, 0.0))
         zero = jnp.zeros((rt,), jnp.float32)
 
         def idle():
-            return init[1:] + (zero, zero, zero)
+            return (jnp.full((rt,), jnp.inf, jnp.float32),
+                    jnp.full((rt,), -1, jnp.int32),
+                    zero, zero, jnp.full((rt,), -1.0, jnp.float32),
+                    zero, zero, zero, zero)
 
         def walk():
             t_hi = jnp.where(t_op < 0.0, -1.0, t_op)  # inactive: no window
             t_mat, u_mat, v_mat, dn_mat = _eval_mats(
                 ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref)
+            # Lanes with NO candidate at all never enter the loop (their
+            # first iteration would only discover tmin = inf); candidate-
+            # free tiles run ZERO iterations instead of one. Exact: such
+            # lanes end in the same (unseen, default) state either way.
+            has_cand = jnp.isfinite(jnp.min(t_mat, axis=1))
+            init = (jnp.int32(0),
+                    jnp.full((rt,), jnp.inf, jnp.float32),
+                    jnp.full((rt,), -1, jnp.int32),
+                    zero, zero,
+                    jnp.full((rt,), -1.0, jnp.float32),
+                    jnp.where((t_op >= 0.0) & has_cand, 1.0, 0.0))
             if textured:
                 # uv = uv0 + u*(uv1-uv0) + v*(uv2-uv0): rows hold uv0/e1/e2
                 # pre-diffed in f32 (IEEE sub = the XLA path's runtime sub).
@@ -408,6 +415,10 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
             t_mat, u_mat, v_mat, _ = _eval_mats(
                 ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref)
             uvx_mat, uvy_mat = _uv_mats(u_mat, v_mat, rows_ref)
+            # Candidate-free lanes skip the loop (see _alpha_kernel).
+            has_cand = jnp.isfinite(jnp.min(t_mat, axis=1))
+            init_w = (init[0], init[1], init[2],
+                      jnp.where((pd >= 0.0) & has_cand, 1.0, 0.0))
 
             def cond(st):
                 return (st[0] < steps_cap) & jnp.any(st[3] > 0.0)
@@ -440,7 +451,7 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
                 t_prev = jnp.where(walking > 0.0, tmin, t_prev)
                 return (k + 1, trans, t_prev, walking)
 
-            return jax.lax.while_loop(cond, body, init)[1:]
+            return jax.lax.while_loop(cond, body, init_w)[1:]
 
         def make_walk_dense(pt_texel: bool):
             """LOOP-FREE transmittance: the walk's result is order-

@@ -30,6 +30,8 @@ from path_tracer_tpu.scene.device_scene import (
     ATTR_EMISSIVE_G, ATTR_EMISSIVE_T, ATTR_IOR, ATTR_METAL_F, ATTR_METAL_G,
     ATTR_METAL_T, ATTR_NORMAL_G, ATTR_NORMAL_T, ATTR_OPACITY_F,
     ATTR_OPACITY_G, ATTR_OPACITY_T, ATTR_ROUGH_F, ATTR_ROUGH_G, ATTR_ROUGH_T,
+    ATTR_WIDE_G, WIDE_ALBEDO, WIDE_EMISSIVE, WIDE_METAL, WIDE_NORMAL,
+    WIDE_OPACITY, WIDE_ROUGH,
 )
 
 # has_tex tuple positions (device_scene.DeviceScene.has_tex)
@@ -68,6 +70,27 @@ def _rows_texel(scene, rows, tcol, gcol, uv):
     if getattr(scene, "attr_tex_baked", False):
         return _fetch_rows(scene, rows, gcol, uv)
     return _fetch(scene, rows[:, tcol].astype(jnp.int32), uv)
+
+
+_WIDE_COL = {_ALBEDO: WIDE_ALBEDO, _EMISSIVE: WIDE_EMISSIVE,
+             _OPACITY: WIDE_OPACITY, _METAL: WIDE_METAL,
+             _ROUGH: WIDE_ROUGH, _NORMAL: WIDE_NORMAL}
+
+
+def _wide(scene, channel: int) -> bool:
+    """Channel rides the one wide-texel gather (build-time static)."""
+    return (not scene.no_textures
+            and bool(getattr(scene, "wide_covered", (False,) * 6)[channel]))
+
+
+def _wide_texels(scene, rows, uv):
+    """ONE [R, WIDE_COLS] gather fetching every covered channel's texel
+    (tex_wide holds the SAME texel values as the per-channel atlas planes,
+    channel-interleaved per material — device_scene._build_wide_tex)."""
+    off = rows[:, ATTR_WIDE_G].astype(jnp.int32)
+    w = rows[:, ATTR_WIDE_G + 1].astype(jnp.int32)
+    h = rows[:, ATTR_WIDE_G + 2].astype(jnp.int32)
+    return scene.tex_wide[off + _texel_index(uv, w, h)]
 
 
 def _has(scene, channel: int) -> bool:
@@ -122,7 +145,12 @@ def sample_opacity(scene, model_id, uv, simple, rows=None):
         if not _has(scene, _OPACITY):
             return factor
         tid = rows[:, ATTR_OPACITY_T].astype(jnp.int32)
-        texel = _rows_texel(scene, rows, ATTR_OPACITY_T, ATTR_OPACITY_G, uv)
+        if _wide(scene, _OPACITY):
+            texel = _wide_texels(scene, rows, uv)[:, WIDE_OPACITY:
+                                                  WIDE_OPACITY + 3]
+        else:
+            texel = _rows_texel(scene, rows, ATTR_OPACITY_T, ATTR_OPACITY_G,
+                                uv)
         return sample_gray(scene, tid, uv, factor, simple, texel=texel)
     if not _has(scene, _OPACITY):
         return scene.mat_opacity_factor[model_id]
@@ -139,12 +167,26 @@ def sample_material(scene, model_id, uv, simple, rows=None) -> MaterialSample:
     the one wide row gather (non-differentiable render path only)."""
     if rows is not None:
         ti = lambda c: rows[:, c].astype(jnp.int32)
+        # Channels the wide table covers share ONE texel gather.
+        texw = (_wide_texels(scene, rows, uv)
+                if any(_has(scene, c) and _wide(scene, c)
+                       for c in (_ALBEDO, _EMISSIVE, _OPACITY, _METAL,
+                                 _ROUGH))
+                else None)
+
+        def texel_of(tcol, gcol, channel):
+            if _wide(scene, channel):
+                c = _WIDE_COL[channel]
+                # col:col+3 serves both kinds: rgb channels own 3 columns;
+                # gray samplers read texel[:, 0] only (tail slices clamp).
+                return texw[:, c:c + 3]
+            return _rows_texel(scene, rows, tcol, gcol, uv)
 
         def rgb(tcol, gcol, fcols, channel, linearize):
             factor = rows[:, fcols:fcols + 3]
             if not _has(scene, channel):
                 return factor
-            texel = _rows_texel(scene, rows, tcol, gcol, uv)
+            texel = texel_of(tcol, gcol, channel)
             return sample_rgb(scene, ti(tcol), uv, factor, simple,
                               linearize=linearize, texel=texel)
 
@@ -152,7 +194,7 @@ def sample_material(scene, model_id, uv, simple, rows=None) -> MaterialSample:
             factor = rows[:, fcol]
             if not _has(scene, channel):
                 return factor
-            texel = _rows_texel(scene, rows, tcol, gcol, uv)
+            texel = texel_of(tcol, gcol, channel)
             return sample_gray(scene, ti(tcol), uv, factor, simple,
                                texel=texel)
 
@@ -209,7 +251,12 @@ def sample_normal_map(scene, model_id, uv, rows=None):
         return None, None
     if rows is not None:
         tex_id = rows[:, ATTR_NORMAL_T].astype(jnp.int32)
-        texel = _rows_texel(scene, rows, ATTR_NORMAL_T, ATTR_NORMAL_G, uv)
+        if _wide(scene, _NORMAL):
+            texel = _wide_texels(scene, rows, uv)[:, WIDE_NORMAL:WIDE_NORMAL
+                                                  + 3]
+        else:
+            texel = _rows_texel(scene, rows, ATTR_NORMAL_T, ATTR_NORMAL_G,
+                                uv)
     else:
         tex_id = scene.mat_normal_tex[model_id]
         texel = _fetch(scene, tex_id, uv)

@@ -55,7 +55,7 @@ def _pad_to(n: int, m: int) -> int:
 # the alpha/shadow walks (PERF.md round 3). Offsets are exact in f32 up to
 # 2^24 atlas texels; bigger atlases clear attr_tex_baked and fall back to
 # the table gathers.
-ATTR_W = 64
+ATTR_W = 68
 ATTR_ALBEDO_F = 29      # 29:32  albedo factor rgb
 ATTR_EMISSIVE_F = 32    # 32:35  emissive factor rgb
 ATTR_OPACITY_F = 35
@@ -76,10 +76,91 @@ ATTR_OPACITY_G = 51
 ATTR_METAL_G = 54
 ATTR_ROUGH_G = 57
 ATTR_NORMAL_G = 60
+# WIDE-TEXEL geometry (64:67): offset/width/height into tex_wide, the
+# channel-interleaved per-material atlas — ONE row gather fetches EVERY
+# covered channel's texel (tex_wide column layout: WIDE_* below).
+ATTR_WIDE_G = 64
+WIDE_ALBEDO = 0   # 0:3
+WIDE_EMISSIVE = 3  # 3:6
+WIDE_NORMAL = 6   # 6:9
+WIDE_OPACITY = 9
+WIDE_METAL = 10
+WIDE_ROUGH = 11
+WIDE_COLS = 12
+
+
+def _build_wide_tex(mats, atlas_data, offsets, widths, heights):
+    """Channel-interleaved texel table: for each material whose textured
+    channels all share one (w, h), a [w*h, WIDE_COLS] block holding every
+    channel's texels side by side — the shading path then fetches ALL
+    channels with ONE row gather instead of one atlas gather per channel
+    (gathers cost ~the same regardless of row width; sampling cost is
+    gather COUNT). Texels are COPIED from the same atlas planes, so values
+    are bit-identical to the per-channel fetches.
+
+    Returns (tex_wide [Nw, WIDE_COLS] f32, woff/ww/wh per-model arrays,
+    covered 6-tuple). covered[c] is True when EVERY model with a texture
+    on channel c got a wide block — only then may the sampler skip
+    channel c's individual fetch statically. Blocks are deduped by the
+    model's full texture-id tuple."""
+    keys = ("albedo_t", "emissive_t", "opacity_t", "metal_t", "rough_t",
+            "normal_t")
+    cols = (WIDE_ALBEDO, WIDE_EMISSIVE, WIDE_OPACITY, WIDE_METAL,
+            WIDE_ROUGH, WIDE_NORMAL)
+    n_models = len(mats["albedo_t"])
+    tids = np.stack([np.asarray(mats[k], np.int64) for k in keys], axis=1)
+    woff = np.zeros(n_models, np.int64)
+    ww = np.ones(n_models, np.int64)
+    wh = np.ones(n_models, np.int64)
+    # in_wide[m, c]: channel c of model m rides the model's wide block.
+    # Channels at a model's PRIMARY texture size (the size most of its
+    # textured channels share; ties -> smaller area) form the block; other
+    # sizes keep their individual fetches (e.g. a 1024^2 albedo next to
+    # 512^2 normal+roughness: the 512^2 pair rides wide, albedo does not).
+    in_wide = np.zeros((n_models, 6), bool)
+    blocks: dict[tuple, tuple] = {}
+    chunks = [np.zeros((1, WIDE_COLS), np.float32)]  # row 0: dummy texel
+    nxt = 1
+    budget = int(os.environ.get("PT_WIDE_TEX_MAX", str(1 << 23)))
+    for m in range(n_models):
+        tex = [(c, int(t)) for c, t in enumerate(tids[m]) if t >= 0]
+        if not tex:
+            continue
+        by_size: dict[tuple, list] = {}
+        for c, t in tex:
+            by_size.setdefault((int(widths[t]), int(heights[t])),
+                               []).append((c, t))
+        (w, h), grp = max(by_size.items(),
+                          key=lambda kv: (len(kv[1]), -kv[0][0] * kv[0][1]))
+        key = tuple(t if (c, t) in grp else -1 for c, t in
+                    zip(range(6), tids[m]))
+        if key not in blocks:
+            if nxt + w * h > budget:
+                continue
+            blk = np.zeros((w * h, WIDE_COLS), np.float32)
+            for c, t in grp:
+                off = int(offsets[t])
+                plane = atlas_data[off : off + w * h]
+                wc = cols[c]
+                if c in (0, 1, 5):  # rgb channels
+                    blk[:, wc : wc + 3] = plane
+                else:  # gray channels read texel[:, 0]
+                    blk[:, wc] = plane[:, 0]
+            blocks[key] = (nxt, w, h)
+            chunks.append(blk)
+            nxt += w * h
+        woff[m], ww[m], wh[m] = blocks[key]
+        for c, _ in grp:
+            in_wide[m, c] = True
+    covered = tuple(
+        bool(np.any(tids[:, c] >= 0))
+        and bool(np.all(in_wide[tids[:, c] >= 0, c]))
+        for c in range(6))
+    return (np.concatenate(chunks, axis=0), woff, ww, wh, covered)
 
 
 def _bake_material_rows(attr: np.ndarray, model_ids: np.ndarray, mats,
-                        atlas=None) -> None:
+                        atlas=None, wide=None) -> None:
     """Fill ATTR_* material columns of ``attr`` from per-model tables.
 
     ``atlas``: optional (offsets, widths, heights) arrays indexed by texture
@@ -109,6 +190,11 @@ def _bake_material_rows(attr: np.ndarray, model_ids: np.ndarray, mats,
             attr[:, gcol] = np.where(has, np.asarray(offs)[safe], 0)
             attr[:, gcol + 1] = np.where(has, np.asarray(ws)[safe], 1)
             attr[:, gcol + 2] = np.where(has, np.asarray(hs)[safe], 1)
+    if wide is not None:
+        woff, ww, wh = wide
+        attr[:, ATTR_WIDE_G] = woff[model_ids]
+        attr[:, ATTR_WIDE_G + 1] = ww[model_ids]
+        attr[:, ATTR_WIDE_G + 2] = wh[model_ids]
 
 
 def _baldwin_weber_rows(sl_tris: np.ndarray) -> np.ndarray:
@@ -373,6 +459,7 @@ class DeviceScene:
 
     # --- texture atlas (all textures, RGB f32 in [0,1], row-major) ---
     tex_data: jax.Array  # [P,3] f32 (P >= 1; row 0 is a dummy texel)
+    tex_wide: jax.Array  # [Pw, WIDE_COLS] channel-interleaved texels
     tex_offset: jax.Array  # [T] int32 start row of each texture
     tex_width: jax.Array  # [T] int32
     tex_height: jax.Array  # [T] int32
@@ -587,6 +674,11 @@ class DeviceScene:
     # removes that channel's atlas gather from sampling.
     has_tex: tuple = dataclasses.field(
         metadata=dict(static=True), default=(False,) * 6)
+    # Per-channel "every texture on this channel rides tex_wide" flags,
+    # same order as has_tex. A True statically replaces that channel's
+    # individual atlas gather with a column slice of the ONE wide gather.
+    wide_covered: tuple = dataclasses.field(
+        metadata=dict(static=True), default=(False,) * 6)
     # In-kernel transparent-walk statics (ops/pallas_trwalk.py): tables
     # valid, real texture width/height, and whether any transparent model
     # samples an opacity texture (False = factor-only walk, fetch skipped).
@@ -752,6 +844,13 @@ def build_device_scene(scene: isf.Scene, root,
             sph_model.append(model_id)
 
     n_tris = len(tri_model)
+    # Wide-texel table (one gather per material sample; see _build_wide_tex).
+    _wide_atlas_np = (np.concatenate(atlas.chunks, axis=0)
+                      if len(atlas.offsets) > 1
+                      else np.zeros((1, 3), np.float32))
+    (tex_wide_np, _woff, _ww, _wh, wide_covered) = _build_wide_tex(
+        mats, _wide_atlas_np, atlas.offsets, atlas.widths, atlas.heights)
+    wide_mats = (_woff, _ww, _wh)
     # OPACITY PARTITION: reorder triangles so every opaque-material triangle
     # precedes every possibly-transparent one (stable within each class).
     # The acceleration structures are then built PER PARTITION and
@@ -969,6 +1068,7 @@ def build_device_scene(scene: isf.Scene, root,
         # model-indexed gathers (used only on the non-differentiable render
         # path — training reads the live factor arrays so gradients flow).
         _bake_material_rows(sl_attr, sl_attr[:, 27].astype(np.int32), mats,
+                            wide=wide_mats,
                             atlas=(atlas.offsets, atlas.widths,
                                    atlas.heights))
         nsl = sum(t[3].shape[0] for t in trees)
@@ -1084,7 +1184,7 @@ def build_device_scene(scene: isf.Scene, root,
         sph_rows[: len(sph_radius), 27] = sm
         _bake_material_rows(sph_rows[: len(sph_radius)], sm, mats,
                             atlas=(atlas.offsets, atlas.widths,
-                                   atlas.heights))
+                                   atlas.heights), wide=wide_mats)
     sl_attr = np.concatenate([sl_attr, sph_rows], axis=0)
 
     # Lights
@@ -1150,6 +1250,8 @@ def build_device_scene(scene: isf.Scene, root,
         mat_roughness_tex=i32(mats["rough_t"]),
         mat_normal_tex=i32(mats["normal_t"]),
         tex_data=atlas_data,
+        tex_wide=jnp.asarray(tex_wide_np),
+        wide_covered=wide_covered,
         tex_offset=i32(atlas.offsets),
         tex_width=i32(atlas.widths),
         tex_height=i32(atlas.heights),
