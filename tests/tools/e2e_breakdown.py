@@ -59,15 +59,21 @@ def main() -> int:
     mid = (len(morton) - WAVE) // 2
     ids = jnp.asarray(morton[mid:mid + WAVE])
 
+    import numpy as _np
+
     def timed(name, spec, sc):
+        # READBACK-terminated (np.asarray): block_until_ready is NOT a real
+        # barrier on the tunnel before the process's first device->host
+        # readback (PERF.md "readback mode switch") — timing without one
+        # measures dispatch only.
         fn = jax.jit(render_wavefront,
                      static_argnames=("width", "height", "spec"))
         out = fn(sc, ids, WIDTH, HEIGHT, jnp.int32(1), spec)
-        out.block_until_ready()  # compile + warm
+        _np.asarray(out[0])  # compile + warm + drain
         t0 = time.perf_counter()
         for k in range(REPS):
             out = fn(sc, ids, WIDTH, HEIGHT, jnp.int32(2 + k), spec)
-        out.block_until_ready()
+        _np.asarray(out[0])
         ms = (time.perf_counter() - t0) / REPS * 1e3
         print(f"{name:16s} {ms:8.1f} ms/wave")
         return ms
@@ -88,11 +94,11 @@ def main() -> int:
     o, d = jit_cam(ids, WIDTH, HEIGHT, scene, jnp.int32(1), 0)
     tp = jnp.full((WAVE,), -1.0, jnp.float32)
     hit = closest_hit_triangles_flat(o, d, tp, scene)
-    hit.t.block_until_ready()
+    _np.asarray(hit.t[0])
     t0 = time.perf_counter()
     for _ in range(REPS):
         hit = closest_hit_triangles_flat(o, d, tp, scene)
-    hit.t.block_until_ready()
+    _np.asarray(hit.t[0])
     kms = (time.perf_counter() - t0) / REPS * 1e3
     print(f"{'flat closest x1':16s} {kms:8.1f} ms/wave")
 
