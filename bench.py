@@ -113,13 +113,19 @@ def main() -> None:
                           compact=os.environ.get("PT_COMPACT") == "1")
     n_pix = WIDTH * HEIGHT
 
+    # Wavefront size: 2^19 re-measured optimal for the walk-kernel-heavy
+    # showcase workloads in round 4 (3.26 -> 3.65 Mray/s on the 8-spp
+    # probe: bigger wavefronts amortize per-launch fixed costs now that
+    # the walks run as whole-wavefront kernels); the analytic-sphere scene
+    # keeps the round-1 2^18 (2^20 measured 26 -> 16 Mray/s there on HBM
+    # spill of the per-bounce intermediates).
+    tile_rays = (1 << 19) if which.startswith("showcase") else (1 << 18)
+
     def run(n_samples: int, sample_start: int):
-        # 2^18-ray tiles measured optimal on v5e (bigger tiles spill the
-        # per-bounce intermediates to HBM: 26 -> 16 Mray/s at 2^20).
         # snapshot=False skips the full-image readback; sync() below forces
         # REAL completion with a tiny per-tile readback instead.
         acc = render_pixel_sums(scene, WIDTH, HEIGHT, sample_start, n_samples,
-                                spec, tile_rays=1 << 18,
+                                spec, tile_rays=tile_rays,
                                 samples_per_launch=WARMUP_SAMPLES,
                                 snapshot=False,
                                 # PT_SPW: samples-per-wavefront packet
