@@ -51,7 +51,12 @@ class Profile:
     # Same auto semantics as alpha_walk_steps (ref mod.rs:283-331).
     shadow_walk_steps: int | None = None
     # Rays per jitted wavefront launch (pixel tile size, flattened).
-    tile_rays: int = 1 << 16
+    # 2^18 re-measured as a safe near-optimum in round 4 (the walk-kernel
+    # paths amortize per-launch fixed costs over the wavefront; bench.py
+    # uses 2^19 on the showcase class, but 2^18 is the conservative
+    # default for arbitrary scene/memory mixes). Values are tile-size
+    # invariant — only throughput changes.
+    tile_rays: int = 1 << 18
     # Samples accumulated per launch (inner sample batch).
     samples_per_launch: int = 1
     # Sample copies packed per kernel packet (shrinks the packet's screen
