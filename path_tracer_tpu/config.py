@@ -55,7 +55,9 @@ class Profile:
     # paths amortize per-launch fixed costs over the wavefront; bench.py
     # uses 2^19 on the showcase class, but 2^18 is the conservative
     # default for arbitrary scene/memory mixes). Values are tile-size
-    # invariant — only throughput changes.
+    # invariant — only throughput changes. MEMORY: per-launch wavefront
+    # state scales linearly with this (the r4 bump from 2^16 quadrupled
+    # it, ADVICE r4); lower it on small/shared devices if a launch OOMs.
     tile_rays: int = 1 << 18
     # Samples accumulated per launch (inner sample batch).
     samples_per_launch: int = 1

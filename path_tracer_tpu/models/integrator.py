@@ -475,13 +475,13 @@ def _use_tr_kernel(scene, spec) -> bool:
     if not getattr(scene, "tr_kernel_ok", False):
         return False
     # Training mode (spec.differentiable): the kernels read a LIVE opacity-
-    # factor row (rebuilt per dispatch from mat_opacity_factor, so factor
-    # training stays value-correct), but the opacity TEXTURE plane is the
-    # build-time quantized one — like every acceleration table (BVH, baked
-    # sl_attr), the atlas is part of the built scene: training tex_data
-    # requires PT_NO_TRWALK_KERNEL=1 for live-texel walk values (gradients
-    # w.r.t. tex_data are unaffected either way — walks are detached
-    # discrete events in both paths).
+    # factor row (rebuilt per dispatch from mat_opacity_factor) AND a LIVE
+    # f32 texture page plane (rebuilt per dispatch from tex_data, fetched
+    # with the exact HIGHEST-precision one-hot matmul — pallas_trwalk
+    # _tex_plane/_texel), so both factor and opacity-TEXTURE training stay
+    # value-correct through the kernel walks (gradients w.r.t. tex_data are
+    # unaffected either way — walks are detached discrete events in both
+    # paths; test_trwalk.test_training_updates_opacity_texture pins it).
     from path_tracer_tpu.ops.intersect import _on_tpu
 
     return _on_tpu() or os.environ.get("PT_TRWALK_INTERPRET") == "1"

@@ -42,9 +42,22 @@ divergence-RATE bound like flat2-vs-MT, plus the statistical oracle gates):
 
 Scene-side preconditions (DeviceScene.tr_kernel_ok, built by
 device_scene._build_tr_walk_tables): partitioned scene, transparent slice
-small enough to keep resident, at most ONE distinct opacity texture among
-transparent models, and that texture's f32 data exactly u8/255 (always
-true for PNG-sourced textures; verified at build).
+small enough to keep resident, at most PT_TRWALK_PAGES (default 8)
+distinct opacity textures among transparent models (stacked as pages of
+one plane; ref material.rs:115-130 fetches opacity from ANY per-material
+texture), and each texture's f32 data exactly u8/255 (always true for
+PNG-sourced textures; verified at build). Training mode swaps the baked
+u8 plane for a LIVE f32 page plane rebuilt from tex_data per dispatch
+(_tex_plane) so opacity-texture training stays value-correct.
+
+Parity note (ADVICE r4): the Morton column permutation changes the
+equal-t tie-break — argmin picks the lowest COMPACT column, which need
+not be the lowest PACKED slot — so on exact-t ties (shared-edge
+crossings, measure-zero) the kernel can select a different triangle than
+the XLA walks; the dense transmittance product also applies BOTH members
+of an equal-t duplicate pair where the strict t > t_prev advance skips
+one (the reference's sorted-Vec walk applies both too). Both effects are
+bounded by the divergence-rate gates.
 """
 from __future__ import annotations
 
@@ -130,7 +143,8 @@ def _slab_groups(ox, oy, oz, dx, dy, dz, t_hi, grp_ref):
     return jnp.max(jnp.where(hit, 1.0, 0.0), axis=0)
 
 
-def _eval_mats(ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref=None):
+def _eval_mats(ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref=None,
+               groups=False):
     """Candidate matrices over the whole transparent table, ONCE per tile.
     The walk's per-iteration work then reduces to a t > t_prev mask +
     min/argmin extraction (_extract) — the expensive geometry pass is not
@@ -146,11 +160,12 @@ def _eval_mats(ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref=None):
     2^18-lane launch): its long camera/shadow segments cross a mean 2.5 of
     5 group AABBs, and the per-group cond + concat overhead (~2.7 us/tile)
     exceeds the ~50% eval savings. Off by default (PT_TRWALK_GROUPS=1
-    opt-in) — scenes whose alpha content clusters tightly against short
-    segments are the candidates."""
+    opt-in, read at DISPATCH time in the wrappers and threaded through as
+    the ``groups`` static so toggling the env var between launches is not
+    silently ignored by the jit cache — ADVICE r4) — scenes whose alpha
+    content clusters tightly against short segments are the candidates."""
     T = bw_ref.shape[1]
-    if (grp_ref is None or T <= 128
-            or os.environ.get("PT_TRWALK_GROUPS") != "1"):
+    if grp_ref is None or T <= 128 or not groups:
         return _eval_cols(ox, oy, oz, dx, dy, dz, t_hi, bw_ref[...])
     rt = ox.shape[0]
     ghit = _slab_groups(ox, oy, oz, dx, dy, dz, t_hi, grp_ref)
@@ -234,21 +249,54 @@ def _pick_rows(sel, rows_ref, idxs):
     return outs
 
 
-def _texel(uvx, uvy, tex_ref, lut_ref, texw, texh):
+def _page_index(uvx, uvy, page, pages):
+    """Per-lane (ix, iy) into the stacked page plane. ``pages`` is the
+    static tuple of (w, h, ybase); ``page`` the per-lane page index (any
+    value for single-page scenes — ignored). Index math mirrors
+    texturing._texel_index: trunc toward zero, then rem_euclid (jnp.mod);
+    per-page w/h stay STATIC so the int mod lowers as a constant-divisor
+    op and stays bit-identical to the XLA path's."""
+    def one(w, h, yb):
+        ix = jnp.mod(jnp.astype(uvx * float(w), jnp.int32), w)
+        iy = jnp.mod(jnp.astype(uvy * float(h), jnp.int32), h) + yb
+        return ix, iy
+
+    ix, iy = one(*pages[0])
+    for p in range(1, len(pages)):
+        ixp, iyp = one(*pages[p])
+        onp = page == float(p)
+        ix = jnp.where(onp, ixp, ix)
+        iy = jnp.where(onp, iyp, iy)
+    return ix, iy
+
+
+def _texel(uvx, uvy, page, tex_ref, lut_ref, pages, live):
     """Exact nearest-neighbor texel fetch (see module docstring).
 
-    Index math mirrors texturing._texel_index: trunc toward zero, then
-    rem_euclid (jnp.mod)."""
+    ``live`` (training mode): tex_ref holds the LIVE f32 texel values (not
+    u8 codes) — the one-hot row matmul runs at HIGHEST precision, which is
+    exact for one-hot selectors (the 6-pass f32 scheme splits each value
+    into non-overlapping bf16 components, and a 1.0-weighted sum of those
+    components reassembles the f32 exactly), and no LUT pass is needed."""
     rt = uvx.shape[0]
     hp, wp = tex_ref.shape
-    ix = jnp.mod(jnp.astype(uvx * float(texw), jnp.int32), texw)
-    iy = jnp.mod(jnp.astype(uvy * float(texh), jnp.int32), texh)
+    ix, iy = _page_index(uvx, uvy, page, pages)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (rt, hp), 1)
-    rowsel = (iota_h == iy[:, None]).astype(jnp.bfloat16)
-    s = jax.lax.dot_general(rowsel, tex_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [RT, Wp]
+    if live:
+        rowsel = (iota_h == iy[:, None]).astype(jnp.float32)
+        s = jax.lax.dot_general(rowsel, tex_ref[...],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+    else:
+        rowsel = (iota_h == iy[:, None]).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(rowsel, tex_ref[...],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [RT,Wp]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (rt, wp), 1)
     val = jnp.sum(jnp.where(iota_w == ix[:, None], s, 0.0), axis=1)
+    if live:
+        return val
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (rt, 256), 1)
     lsel = iota_l == val.astype(jnp.int32)[:, None]
     return jnp.sum(jnp.where(lsel, lut_ref[0, :][None, :], 0.0), axis=1)
@@ -256,7 +304,7 @@ def _texel(uvx, uvy, tex_ref, lut_ref, texw, texh):
 
 def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, grp_ref,
                   rows_ref, tex_ref, lut_ref, fout_ref, iout_ref, *, T,
-                  texw, texh, steps_cap, n_tiles, textured):
+                  pages, live, steps_cap, n_tiles, textured, groups):
     """In-kernel stochastic alpha walk (the transparent half of
     _alpha_walk_partitioned). Per-lane outputs (fout [8,R], iout [1,R]):
     sel_t, sel_u, sel_v, sel_dn, seen, accepted, still_active, t_prev and
@@ -283,7 +331,7 @@ def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, grp_ref,
         def walk():
             t_hi = jnp.where(t_op < 0.0, -1.0, t_op)  # inactive: no window
             t_mat, u_mat, v_mat, dn_mat = _eval_mats(
-                ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref)
+                ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref, groups)
             # Lanes with NO candidate at all never enter the loop (their
             # first iteration would only discover tmin = inf); candidate-
             # free tiles run ZERO iterations instead of one. Exact: such
@@ -311,8 +359,14 @@ def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, grp_ref,
                 if textured:
                     uvx = _pick(sel, uvx_mat)
                     uvy = _pick(sel, uvy_mat)
-                    pfac, phas = _pick_rows(sel, rows_ref, (6, 7))
-                    texel = _texel(uvx, uvy, tex_ref, lut_ref, texw, texh)
+                    if len(pages) > 1:
+                        pfac, phas, ppage = _pick_rows(sel, rows_ref,
+                                                       (6, 7, 8))
+                    else:
+                        pfac, phas = _pick_rows(sel, rows_ref, (6, 7))
+                        ppage = None
+                    texel = _texel(uvx, uvy, ppage, tex_ref, lut_ref,
+                                   pages, live)
                     op = jnp.where(phas > 0.0, texel * pfac, pfac)
                 else:
                     pfac = _pick_rows(sel, rows_ref, (6,))[0]
@@ -368,8 +422,8 @@ def _rnd_at(rnd_ref, k, base):
 
 
 def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
-                  tex_ref, lut_ref, fout_ref, *, T, texw, texh, steps_cap,
-                  n_tiles, textured, interp):
+                  tex_ref, lut_ref, fout_ref, *, T, pages, live, steps_cap,
+                  n_tiles, textured, interp, groups):
     """In-kernel shadow transmittance walk over the stacked [L*R] lanes of
     _shadow_attenuation_multi.
 
@@ -413,7 +467,7 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
             extraction."""
             t_hi = jnp.where(pd >= 0.0, jnp.inf, -1.0)
             t_mat, u_mat, v_mat, _ = _eval_mats(
-                ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref)
+                ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref, groups)
             uvx_mat, uvy_mat = _uv_mats(u_mat, v_mat, rows_ref)
             # Candidate-free lanes skip the loop (see _alpha_kernel).
             has_cand = jnp.isfinite(jnp.min(t_mat, axis=1))
@@ -436,13 +490,19 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
                 ocz = oz + t_safe * dz - spz
                 occ_dist = jnp.sqrt(ocx * ocx + ocy * ocy + ocz * ocz)
                 found = found & ~(is_pt & (occ_dist > pd))
-                pfac, phas = _pick_rows(sel, rows_ref, (6, 7))
+                if len(pages) > 1:
+                    pfac, phas, ppage = _pick_rows(sel, rows_ref, (6, 7, 8))
+                else:
+                    pfac, phas = _pick_rows(sel, rows_ref, (6, 7))
+                    ppage = None
                 uvx = _pick(sel, uvx_mat)
                 uvy = _pick(sel, uvy_mat)
-                # Point lanes: ORIGINAL UV (mod.rs:324 quirk).
+                # Point lanes: ORIGINAL UV (mod.rs:324 quirk) — but still
+                # the OCCLUDER's texture page (occluder's material).
                 uvx = jnp.where(is_pt, ouvx, uvx)
                 uvy = jnp.where(is_pt, ouvy, uvy)
-                texel = _texel(uvx, uvy, tex_ref, lut_ref, texw, texh)
+                texel = _texel(uvx, uvy, ppage, tex_ref, lut_ref, pages,
+                               live)
                 # Original-hit TYPE: sphere originals factor-only.
                 use_factor = (phas <= 0.0) | (is_pt & osimple)
                 op = jnp.where(use_factor, pfac, texel * pfac)
@@ -482,7 +542,7 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
             def walk():
                 t_hi = jnp.where(pd >= 0.0, jnp.inf, -1.0)
                 t_mat, u_mat, v_mat, _ = _eval_mats(
-                    ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref)
+                    ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref, groups)
                 finite = jnp.isfinite(t_mat)
                 tc = jnp.where(finite, t_mat, 0.0)
                 ocx = rc(ox) + tc * rc(dx) - rc(spx)
@@ -497,13 +557,29 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
                 include = finite & (t_mat < cut[:, None])
                 fac = rows_ref[6, :][None, :]
                 if pt_texel:
-                    texel0 = _texel(ouvx, ouvy, tex_ref, lut_ref, texw,
-                                    texh)
+                    # One fetch per lane PER PAGE (the occluder's material
+                    # picks the page, so a lane's original-UV texel can
+                    # differ per candidate column on multi-texture scenes);
+                    # the per-column page row selects between them.
+                    texel0 = _texel(ouvx, ouvy, None, tex_ref, lut_ref,
+                                    pages[:1], live)[:, None]  # [RT,1]
+                    if len(pages) > 1:
+                        prow = rows_ref[8, :][None, :]
+                        texel_mat = jnp.broadcast_to(texel0, t_mat.shape)
+                        for p in range(1, len(pages)):
+                            tp_l = _texel(ouvx, ouvy, None, tex_ref,
+                                          lut_ref, pages[p:p + 1],
+                                          live)[:, None]
+                            texel_mat = jnp.where(prow == float(p),
+                                                  jnp.broadcast_to(
+                                                      tp_l, t_mat.shape),
+                                                  texel_mat)
+                        texel0 = texel_mat
                     has = rows_ref[7, :][None, :]
                     use_factor = ((has <= 0.0)
                                   | (rc(jnp.where(osimple, 1.0, 0.0))
                                      > 0.0))
-                    op = jnp.where(use_factor, fac, texel0[:, None] * fac)
+                    op = jnp.where(use_factor, fac, texel0 * fac)
                 else:
                     op = jnp.broadcast_to(fac, t_mat.shape)
                 trans = _prod_cols(jnp.where(include, 1.0 - op, 1.0),
@@ -544,27 +620,59 @@ def _pad_rays(r):
     return ((r + WALK_TILE - 1) // WALK_TILE) * WALK_TILE
 
 
-def _tables(scene, live_factor):
+def _tables(scene, live):
     """The per-triangle attribute rows, with the opacity-factor row rebuilt
-    from the LIVE mat_opacity_factor table when ``live_factor`` (training
-    mode: a train step may dataclasses.replace the factor table — values
-    only, detached)."""
+    from the LIVE mat_opacity_factor table when ``live`` (training mode: a
+    train step may dataclasses.replace the factor table — values only,
+    detached)."""
     rows = scene.tr_rows
-    if live_factor:
+    if live:
         f = jax.lax.stop_gradient(
             scene.mat_opacity_factor[scene.tr_model].astype(jnp.float32))
         rows = jnp.concatenate([rows[:6], f[None, :], rows[7:]], axis=0)
     return rows
 
 
+def _tex_plane(scene, live):
+    """The stacked opacity-texture page plane for the in-kernel fetch.
+
+    Forward rendering reads the build-time u8 plane (tr_tex8, bf16 + LUT).
+    Training mode (``live``) rebuilds the plane from the LIVE tex_data
+    atlas per dispatch — f32 values, fetched with the HIGHEST-precision
+    one-hot matmul (exact; see _texel) — so a train step that updates an
+    opacity texture (parallel/train.py PARAM_FIELDS includes tex_data)
+    renders its walk decisions against the live texture, not the
+    build-time snapshot. Values only — the walks stay detached discrete
+    events in both modes (VERDICT r4 missing #2)."""
+    if not (live and scene.tr_textured):
+        return scene.tr_tex8
+    hp, wp = scene.tr_tex8.shape
+    plane = jnp.zeros((hp, wp), jnp.float32)
+    for off, w, h, yb in scene.tr_pages:
+        pg = jax.lax.stop_gradient(
+            scene.tex_data[off : off + w * h, 0]).reshape(h, w)
+        plane = plane.at[yb : yb + h, :w].set(pg)
+    return plane
+
+
+def _kernel_pages(scene):
+    """Static (w, h, ybase) page tuples for the kernels (atlas offsets are
+    a host/live-rebuild concern only). Factor-only scenes get a 1x1 dummy
+    page so the statically-dead fetch path still traces."""
+    if not scene.tr_pages:
+        return ((1, 1, 0),)
+    return tuple((w, h, yb) for _, w, h, yb in scene.tr_pages)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "T", "texw", "texh", "steps_cap", "textured", "interpret"))
-def _alpha_launch(o_t, d_t, top, rnd, bw, grp, rows, tex, lut, T, texw,
-                  texh, steps_cap, textured, interpret=False):
+    "T", "pages", "live", "steps_cap", "textured", "groups",
+    "interpret"))
+def _alpha_launch(o_t, d_t, top, rnd, bw, grp, rows, tex, lut, T, pages,
+                  live, steps_cap, textured, groups, interpret=False):
     r = o_t.shape[1]
     kernel = functools.partial(
-        _alpha_kernel, T=T, texw=texw, texh=texh, steps_cap=steps_cap,
-        n_tiles=r // WALK_TILE, textured=textured)
+        _alpha_kernel, T=T, pages=pages, live=live, steps_cap=steps_cap,
+        n_tiles=r // WALK_TILE, textured=textured, groups=groups)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     fout, iout = pl.pallas_call(
         kernel,
@@ -580,13 +688,15 @@ def _alpha_launch(o_t, d_t, top, rnd, bw, grp, rows, tex, lut, T, texw,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "T", "texw", "texh", "steps_cap", "textured", "interpret"))
-def _trans_launch(o_t, d_t, aux, bw, grp, rows, tex, lut, T, texw,
-                  texh, steps_cap, textured, interpret=False):
+    "T", "pages", "live", "steps_cap", "textured", "groups",
+    "interpret"))
+def _trans_launch(o_t, d_t, aux, bw, grp, rows, tex, lut, T, pages,
+                  live, steps_cap, textured, groups, interpret=False):
     r = o_t.shape[1]
     kernel = functools.partial(
-        _trans_kernel, T=T, texw=texw, texh=texh, steps_cap=steps_cap,
-        n_tiles=r // WALK_TILE, textured=textured, interp=interpret)
+        _trans_kernel, T=T, pages=pages, live=live, steps_cap=steps_cap,
+        n_tiles=r // WALK_TILE, textured=textured, interp=interpret,
+        groups=groups)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     (fout,) = pl.pallas_call(
         kernel,
@@ -624,11 +734,13 @@ def alpha_walk_kernel(scene, o, d, t_op, rnd, steps_cap, interpret=False,
     d_t = _pad_to(d.T, rp, 1.0)
     top = _pad_to(t_op[None, :], rp, -1.0)
     rndp = _pad_to(rnd, rp, 1.0)
+    live = live_factor and scene.tr_textured
     rows = _tables(scene, live_factor)
     fout, iout = _alpha_launch(
         o_t, d_t, top, rndp, scene.tr_bw, scene.tr_grp, rows,
-        scene.tr_tex8, scene.tr_lut, scene.tr_bw.shape[1],
-        scene.tr_texw, scene.tr_texh, steps_cap, scene.tr_textured,
+        _tex_plane(scene, live_factor), scene.tr_lut,
+        scene.tr_bw.shape[1], _kernel_pages(scene), live, steps_cap,
+        scene.tr_textured, os.environ.get("PT_TRWALK_GROUPS") == "1",
         interpret=interpret)
     col = iout[0, :r]
     packed = scene.tr_colmap[jnp.maximum(col, 0)]
@@ -659,9 +771,12 @@ def trans_walk_kernel(scene, o, d, pd, is_pt, surf_pos, orig_uv, orig_simple,
         jnp.where(orig_simple, 1.0, 0.0)[None, :],
     ], axis=0)
     aux = _pad_to(aux, rp, -1.0)
+    live = live_factor and scene.tr_textured
     rows = _tables(scene, live_factor)
     fout = _trans_launch(
         o_t, d_t, aux, scene.tr_bw, scene.tr_grp, rows,
-        scene.tr_tex8, scene.tr_lut, scene.tr_bw.shape[1], scene.tr_texw,
-        scene.tr_texh, steps_cap, scene.tr_textured, interpret=interpret)
+        _tex_plane(scene, live_factor), scene.tr_lut,
+        scene.tr_bw.shape[1], _kernel_pages(scene), live, steps_cap,
+        scene.tr_textured, os.environ.get("PT_TRWALK_GROUPS") == "1",
+        interpret=interpret)
     return fout[0, :r], fout[1, :r], fout[2, :r] > 0.0

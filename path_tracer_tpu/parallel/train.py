@@ -66,7 +66,10 @@ def apply_params(scene, params: dict):
     forward render (differentiable=False) reads material factors from the
     BAKED sl_attr row columns — so any material-factor update must refresh
     those columns too, or renders of the fitted scene would silently use the
-    pre-training values (two sources of truth).
+    pre-training values (two sources of truth). tex_data updates need no
+    refresh DURING training (both the differentiable sampler and the walk
+    kernels read live texels); before forward-rendering a scene whose
+    tex_data was trained, call refresh_baked_textures once (host-side).
     """
     scene = dataclasses.replace(scene, **params)
     if any(f.startswith("mat_") for f in params):
@@ -108,6 +111,67 @@ def rebake_material_rows(scene):
     attr = attr.at[:, ds.ATTR_ROUGH_F].set(scene.mat_roughness_factor[mid])
     attr = attr.at[:, ds.ATTR_IOR].set(scene.mat_ior[mid])
     return dataclasses.replace(scene, sl_attr=attr)
+
+
+def refresh_baked_textures(scene):
+    """Host-side rebuild of the BAKED texel tables from the live atlas —
+    call ONCE after a training run that updated ``tex_data`` before
+    rendering the fitted scene in forward mode (differentiable=False).
+
+    Training itself never needs this: the differentiable path samples the
+    live tex_data directly and the walk kernels read a live page plane
+    (pallas_trwalk._tex_plane). But forward rendering reads two baked
+    tables built from the ORIGINAL atlas: tex_wide (the channel-interleaved
+    wide-texel table) and tr_tex8 (the walk kernels' u8 page plane). This
+    rebuilds tex_wide value-for-value (same layout — texture shapes cannot
+    change) and re-quantizes tr_tex8; if the trained texels are no longer
+    exactly u8/255 (generic after gradient steps), tr_kernel_ok is cleared
+    so forward walks fall back to the exact XLA gather paths rather than
+    silently quantizing.
+
+    NOT jit-safe (host readback of tex_data; on the axon tunnel a
+    device->host readback also degrades later dispatch latency — see
+    PERF.md "device->host mode switch" — so do this once, at export time).
+    """
+    import numpy as np
+
+    from path_tracer_tpu.scene import device_scene as ds
+
+    atlas_data = np.asarray(scene.tex_data)
+    updates = {}
+    if not scene.no_textures and any(scene.wide_covered):
+        mats = {
+            "albedo_t": np.asarray(scene.mat_albedo_tex),
+            "emissive_t": np.asarray(scene.mat_emissive_tex),
+            "opacity_t": np.asarray(scene.mat_opacity_tex),
+            "metal_t": np.asarray(scene.mat_metalness_tex),
+            "rough_t": np.asarray(scene.mat_roughness_tex),
+            "normal_t": np.asarray(scene.mat_normal_tex),
+        }
+        tex_wide_np, _, _, _, covered = ds._build_wide_tex(
+            mats, atlas_data, np.asarray(scene.tex_offset),
+            np.asarray(scene.tex_width), np.asarray(scene.tex_height))
+        assert covered == scene.wide_covered  # layout is value-invariant
+        assert tex_wide_np.shape == scene.tex_wide.shape
+        updates["tex_wide"] = jnp.asarray(tex_wide_np)
+    if scene.tr_kernel_ok and scene.tr_textured:
+        lut = np.asarray(scene.tr_lut)[0]
+        hp, wp = scene.tr_tex8.shape
+        tex8 = np.zeros((hp, wp), np.float32)
+        exact = True
+        for off, w, h, yb in scene.tr_pages:
+            plane = atlas_data[off : off + w * h, 0]
+            ru = np.round(plane.astype(np.float64) * 255.0)
+            if not np.array_equal(plane, lut[np.clip(ru, 0, 255)
+                                             .astype(np.int32)]):
+                exact = False
+                break
+            tex8[yb : yb + h, :w] = ru.reshape(h, w)
+        if exact:
+            updates["tr_tex8"] = jnp.asarray(tex8, jnp.bfloat16)
+        else:
+            updates["tr_kernel_ok"] = False
+    return dataclasses.replace(scene, **updates) if updates else scene
 
 
 def make_train_step(mesh, width: int, height: int, spec: IntegratorSpec,

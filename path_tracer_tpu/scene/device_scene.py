@@ -121,7 +121,13 @@ def _build_wide_tex(mats, atlas_data, offsets, widths, heights):
     blocks: dict[tuple, tuple] = {}
     chunks = [np.zeros((1, WIDE_COLS), np.float32)]  # row 0: dummy texel
     nxt = 1
-    budget = int(os.environ.get("PT_WIDE_TEX_MAX", str(1 << 23)))
+    # Budget in BYTES (ADVICE r4: the old 2^23-ROW default allowed ~400 MB
+    # of duplicated texels). 96 MB default; PT_WIDE_TEX_MAX still overrides
+    # as a raw row count for sweeps.
+    budget = int(float(os.environ.get("PT_WIDE_TEX_MAX_MB", "96"))
+                 * (1 << 20) / (4 * WIDE_COLS))
+    if "PT_WIDE_TEX_MAX" in os.environ:
+        budget = int(os.environ["PT_WIDE_TEX_MAX"])
     for m in range(n_models):
         tex = [(c, int(t)) for c, t in enumerate(tids[m]) if t >= 0]
         if not tex:
@@ -231,14 +237,23 @@ def _build_tr_walk_tables(sl_bw, sl_attr, sl_tris, nblk_op, n_blocks,
     """Compact transparent-partition tables for the fused in-kernel walks
     (ops/pallas_trwalk.py).
 
-    Returns (tr_bw [16,Tp], tr_rows [8,Tp], tr_grp [7,GP], colmap, modelmap,
-    tex8 [Hp,Wp] u8-values-as-f32, lut [1,256], texw, texh, textured, ok).
+    Returns (tr_bw [16,Tp], tr_rows [9,Tp], tr_grp [7,GP], colmap, modelmap,
+    tex8 [Hp,Wp] u8-values-as-f32, lut [1,256], pages, textured, ok).
     ``ok`` is False (placeholders returned) unless: the scene HAS a
     transparent partition, it is small enough to keep VMEM-resident, its
-    models reference at most ONE distinct opacity texture, that texture fits
-    the VMEM budget, and its f32 atlas data is EXACTLY u8/255 (always true
-    for PNG-sourced textures; verified here so the in-kernel u8 + LUT fetch
-    is bit-identical to the XLA gather fetch).
+    models reference at most PT_TRWALK_PAGES (default 8) distinct opacity
+    textures, the stacked texture pages fit the VMEM budget, and each
+    texture's f32 atlas data is EXACTLY u8/255 (always true for PNG-sourced
+    textures; verified here so the in-kernel u8 + LUT fetch is bit-identical
+    to the XLA gather fetch).
+
+    MULTI-TEXTURE scenes (the reference fetches opacity from ANY
+    per-material texture — src/scene/internal/material.rs:115-130) stack
+    each distinct opacity texture as a PAGE of one [Hp, Wp] plane: page p
+    occupies rows [ybase_p, ybase_p + h_p), Wp = max padded width. Row 8 of
+    tr_rows carries each column's page index; ``pages`` is the static tuple
+    of (atlas_offset, w, h, ybase) per page, used by the kernels (index
+    math) and by the live-texture training rebuild (pallas_trwalk._tex_plane).
 
     Columns are MORTON-SORTED by triangle centroid so each 128-column group
     is a tight spatial cluster; tr_grp rows 0-5 hold each group's AABB
@@ -251,11 +266,11 @@ def _build_tr_walk_tables(sl_bw, sl_attr, sl_tris, nblk_op, n_blocks,
     lut = (np.arange(256).astype(np.float64) / 255.0).astype(np.float32)
     lut_row = lut[None, :]
     placeholder = (np.zeros((16, 128), np.float32),
-                   np.zeros((8, 128), np.float32),
+                   np.zeros((9, 128), np.float32),
                    np.zeros((7, 128), np.float32),
                    np.zeros(128, np.int32),
                    np.zeros(128, np.int32),
-                   np.zeros((8, 128), np.float32), lut_row, 1, 1,
+                   np.zeros((8, 128), np.float32), lut_row, (),
                    False, False)
     lo, hi = nblk_op * block, n_blocks * block
     if hi - lo <= 0:
@@ -299,7 +314,12 @@ def _build_tr_walk_tables(sl_bw, sl_attr, sl_tris, nblk_op, n_blocks,
     idx = idx[order]
     v0, v1, v2 = v0[order], v1[order], v2[order]
 
-    tp_pad = max(128, ((tp + 127) // 128) * 128)
+    # Minimum 256 columns: a 128-column table hits a Mosaic legalization
+    # bug on TPU ("unresolved materialization vector<8x128xf32> ->
+    # vector<8x128xi32>", round-5 finding — latent for ANY small
+    # transparent partition; T >= 256 compiles). Pad columns are free:
+    # their all-zero BW rows give d.n = 0, rejected by DET_EPS.
+    tp_pad = max(256, ((tp + 127) // 128) * 128)
     tr_bw = np.zeros((16, tp_pad), np.float32)  # pad cols: d.n = 0 rejects
     tr_bw[:, :tp] = sl_bw[:, lo:hi][:, idx]
 
@@ -320,7 +340,7 @@ def _build_tr_walk_tables(sl_bw, sl_attr, sl_tris, nblk_op, n_blocks,
     colmap[:tp] = lo + idx
     modelmap = np.zeros(tp_pad, np.int32)
     modelmap[:tp] = attr_all[idx, 27].astype(np.int32)
-    rows = np.zeros((8, tp_pad), np.float32)
+    rows = np.zeros((9, tp_pad), np.float32)
     uv0, uv1, uv2 = attr[:, 21:23], attr[:, 23:25], attr[:, 25:27]
     rows[0:2, :tp] = uv0.T
     rows[2:4, :tp] = (uv1 - uv0).T  # f32 sub == the XLA path's runtime sub
@@ -328,30 +348,43 @@ def _build_tr_walk_tables(sl_bw, sl_attr, sl_tris, nblk_op, n_blocks,
     rows[6, :tp] = attr[:, ATTR_OPACITY_F]
     tids = attr[:, ATTR_OPACITY_T].astype(np.int32)
     used = np.unique(tids[tids >= 0])
-    if len(used) > 1:
+    if len(used) > int(os.environ.get("PT_TRWALK_PAGES", "8")):
         return placeholder
-    textured = len(used) == 1
-    w = h = 1
+    textured = len(used) > 0
+    pages = []
     tex8 = np.zeros((8, 128), np.float32)
     if textured:
-        t = int(used[0])
-        w, h = int(widths[t]), int(heights[t])
-        if w * h > int(os.environ.get("PT_TRWALK_TEXMAX", str(1 << 21))):
+        # Stack the distinct opacity textures as vertical pages of one
+        # plane: Wp = max padded width, page p at rows [ybase, ybase+h).
+        planes = []
+        ybase = 0
+        wp = 128
+        for t in (int(t) for t in used):
+            w, h = int(widths[t]), int(heights[t])
+            off = int(offsets[t])
+            plane = atlas_data[off : off + w * h, 0]
+            r255 = plane.astype(np.float64) * 255.0
+            ru = np.round(r255)
+            if (np.abs(r255 - ru).max() > 1e-3
+                    or not np.array_equal(plane, lut[ru.astype(np.int32)])):
+                return placeholder  # not u8-exact: in-kernel fetch diverges
+            planes.append(ru.reshape(h, w))
+            pages.append((off, w, h, ybase))
+            ybase += h
+            wp = max(wp, ((w + 127) // 128) * 128)
+        hp = ((ybase + 127) // 128) * 128
+        if hp * wp > int(os.environ.get("PT_TRWALK_TEXMAX", str(1 << 21))):
             return placeholder
-        off = int(offsets[t])
-        plane = atlas_data[off : off + w * h, 0]
-        r255 = plane.astype(np.float64) * 255.0
-        ru = np.round(r255)
-        if (np.abs(r255 - ru).max() > 1e-3
-                or not np.array_equal(plane, lut[ru.astype(np.int32)])):
-            return placeholder  # not u8-exact: in-kernel fetch diverges
-        hp = ((h + 127) // 128) * 128
-        wp = ((w + 127) // 128) * 128
         tex8 = np.zeros((hp, wp), np.float32)
-        tex8[:h, :w] = ru.reshape(h, w)
+        for (off, w, h, yb), pl in zip(pages, planes):
+            tex8[yb : yb + h, :w] = pl
         rows[7, :tp] = (tids >= 0).astype(np.float32)
+        page_of = {int(t): p for p, t in enumerate(used)}
+        rows[8, :tp] = np.array(
+            [float(page_of[int(t)]) if t >= 0 else 0.0 for t in tids],
+            np.float32)
     return (tr_bw, rows, tr_grp, colmap, modelmap,
-            tex8, lut_row, w, h, textured, True)
+            tex8, lut_row, tuple(pages), textured, True)
 
 
 SPH_BLOCK = 128  # spheres per block in the sphere block walk
@@ -566,8 +599,9 @@ class DeviceScene:
     # Compact tables of ONLY the transparent partition, VMEM-resident in the
     # fused walk kernels. Placeholder minima when tr_kernel_ok is False.
     tr_bw: jax.Array  # [16, Tp] transparent slice of sl_bw_t
-    # Rows: uv0.xy, (uv1-uv0).xy, (uv2-uv0).xy, opacity factor, has_tex.
-    tr_rows: jax.Array  # [8, Tp] f32
+    # Rows: uv0.xy, (uv1-uv0).xy, (uv2-uv0).xy, opacity factor, has_tex,
+    # texture-page index (0 for factor-only columns).
+    tr_rows: jax.Array  # [9, Tp] f32
     tr_grp: jax.Array  # [7, GP] Morton group AABBs + valid flag
     # Compact column -> GLOBAL packed slot id (columns hold only REAL
     # transparent triangles; block pad slots are dropped at build).
@@ -576,8 +610,9 @@ class DeviceScene:
     # mode (a train step may dataclasses.replace mat_opacity_factor; the
     # kernel then rebuilds row 6 from the live table at dispatch).
     tr_model: jax.Array  # [Tp] i32
-    # The ONE opacity texture's u8 texel VALUES (0..255, exact in bf16) for
-    # the in-kernel one-hot MXU fetch; padded to 128 multiples with zeros.
+    # The distinct opacity textures' u8 texel VALUES (0..255, exact in
+    # bf16) for the in-kernel one-hot MXU fetch, stacked as vertical PAGES
+    # (tr_pages gives each page's rows); padded to 128 multiples with zeros.
     tr_tex8: jax.Array  # [Hp, Wp] bf16
     # Exact dequant LUT: tr_lut[0, v] == np.float32(v / 255.0), the
     # correctly-rounded host division that built tex_data (an in-kernel
@@ -680,12 +715,14 @@ class DeviceScene:
     wide_covered: tuple = dataclasses.field(
         metadata=dict(static=True), default=(False,) * 6)
     # In-kernel transparent-walk statics (ops/pallas_trwalk.py): tables
-    # valid, real texture width/height, and whether any transparent model
+    # valid, the texture-page layout, and whether any transparent model
     # samples an opacity texture (False = factor-only walk, fetch skipped).
     tr_kernel_ok: bool = dataclasses.field(
         metadata=dict(static=True), default=False)
-    tr_texw: int = dataclasses.field(metadata=dict(static=True), default=1)
-    tr_texh: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # One (atlas_offset, w, h, ybase) tuple per distinct opacity texture —
+    # pages of the stacked tr_tex8 plane (see _build_tr_walk_tables).
+    tr_pages: tuple = dataclasses.field(metadata=dict(static=True),
+                                        default=())
     tr_textured: bool = dataclasses.field(
         metadata=dict(static=True), default=False)
     # True when sphere casts route through the block-walk kernels
@@ -1203,7 +1240,7 @@ def build_device_scene(scene: isf.Scene, root,
     atlas_data = np.concatenate(atlas.chunks, axis=0)
     sl_bw_np = _baldwin_weber_rows(sl_tris)
     (tr_bw_np, tr_rows_np, tr_grp_np, tr_colmap_np, tr_model_np,
-     tr_tex8_np, tr_lut_np, tr_texw, tr_texh, tr_textured, tr_kernel_ok) = \
+     tr_tex8_np, tr_lut_np, tr_pages, tr_textured, tr_kernel_ok) = \
         _build_tr_walk_tables(
             sl_bw_np, sl_attr, sl_tris, nblk_op, n_blocks, SL_BLOCK,
             atlas_data, atlas.offsets, atlas.widths, atlas.heights)
@@ -1306,8 +1343,7 @@ def build_device_scene(scene: isf.Scene, root,
         tr_tex8=jnp.asarray(tr_tex8_np, jnp.bfloat16),
         tr_lut=jnp.asarray(tr_lut_np),
         tr_kernel_ok=tr_kernel_ok,
-        tr_texw=tr_texw,
-        tr_texh=tr_texh,
+        tr_pages=tr_pages,
         tr_textured=tr_textured,
         no_textures=len(atlas.offsets) == 1,
         # MEASURED NEGATIVE (PERF.md round 3): reading atlas geometry
