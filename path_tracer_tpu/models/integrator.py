@@ -1100,6 +1100,170 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
     return att
 
 
+def _use_fused_shadow(scene, spec) -> bool:
+    """Static gate for the FUSED shadow kernel (ops/pallas_shadow.py):
+    opaque any-hit + transparent transmittance for ALL lights in ONE
+    launch per bounce. Requires the fused-walk preconditions
+    (_use_tr_kernel) plus the single-level FLAT block tables the in-kernel
+    any-hit walks (flat2/tree scenes keep the two-launch path).
+    PT_NO_FUSED_SHADOW=1 forces the two-launch path (A/B + parity)."""
+    import os
+
+    if os.environ.get("PT_NO_FUSED_SHADOW") == "1":
+        return False
+    if not _use_tr_kernel(scene, spec):
+        return False
+    if scene.num_real_triangles == 0:
+        return False
+    from path_tracer_tpu.ops.intersect import (_device_sort,
+                                               _walk_variant)
+
+    return _walk_variant(scene) == "flat" and not _device_sort()
+
+
+def _shadow_attenuation_fused(scene, s_o, dirs, actives, colors, spec,
+                              steps, point_dists, surf_pos, orig_model_uv):
+    """All L lights' shadow attenuations via ONE fused kernel launch
+    (opaque any-hit + transparent transmittance — ops/pallas_shadow.py).
+
+    Value-identical to occluded_multi + _shadow_attenuation_multi: the
+    kernel runs the same shared tile functions (flat_occ_set, trans_tile);
+    the any-hit t_max and sphere-occlusion terms reproduce
+    ops.intersect.occluded_multi's formulas; still-walking lanes past the
+    step cap continue in the exact stacked cast residual."""
+    from path_tracer_tpu.ops import pallas_trwalk as twk
+    from path_tracer_tpu.ops.pallas_shadow import fused_shadow
+
+    L = len(dirs)
+    r = s_o.shape[0]
+    att0s = [jnp.where(actives[i][:, None],
+                       jnp.broadcast_to(colors[i], s_o.shape), 0.0)
+             for i in range(L)]
+    kcap = min(steps, twk.TRWALK_K)
+    inf = jnp.full((r,), jnp.inf, jnp.float32)
+
+    t_maxes, pds, is_pt, in_ranges = [], [], [], []
+    for i in range(L):
+        d = dirs[i]
+        md = point_dists[i]
+        if md is None:
+            tm = inf
+            pd_raw = inf
+            in_ranges.append(lambda t: True)
+        else:
+            # Exact positive root of |o + t d - surf| = max_dist (the
+            # any-hit range limit; ops.intersect.occluded_multi).
+            bvec = s_o - surf_pos
+            b_dot_d = _dot(bvec, d)
+            b_sq = _dot(bvec, bvec)
+            d_sq = _dot(d, d)
+            limit_sq = md * md
+            disc = b_dot_d**2 - d_sq * (b_sq - limit_sq)
+            tm = (-b_dot_d + jnp.sqrt(jnp.maximum(disc, 0.0))) / d_sq
+
+            def in_range(t, b_dot_d=b_dot_d[:, None], b_sq=b_sq[:, None],
+                         d_sq=d_sq[:, None], limit_sq=limit_sq[:, None]):
+                return t * t * d_sq + 2.0 * t * b_dot_d + b_sq <= limit_sq
+
+            in_ranges.append(in_range)
+            pd_raw = md
+        t_maxes.append(jnp.where(actives[i], tm, -1.0))
+        # Transmittance window: active, non-zero light color, and the
+        # 32-box transparent-cluster prefilter (blocked lanes fold inside
+        # the kernel — the any-hit result gates the walk in-kernel).
+        cnz = jnp.sum(jnp.abs(att0s[i]), axis=-1) != 0.0
+        walk = actives[i] & cnz & _hits_transparent_bounds(
+            scene, s_o, d, pd_raw * 1.0001 + 1e-3)
+        pds.append(jnp.where(walk, pd_raw, -1.0))
+        is_pt.append(md is not None)
+
+    trans_eff, t_prev, still = fused_shadow(
+        scene, s_o, dirs, t_maxes, pds, tuple(is_pt), surf_pos,
+        orig_model_uv[0], orig_model_uv[1], kcap,
+        interpret=_tr_kernel_interpret(), live=spec.differentiable)
+
+    if kcap < steps:
+        # Exact stacked cast residual for lanes past the kernel step cap
+        # (same contract as _shadow_attenuation_multi), gated by lax.cond.
+        from path_tracer_tpu.scene.device_scene import transparent_view
+
+        tv = transparent_view(scene)
+        o3 = jnp.concatenate([s_o] * L, axis=0)
+        d3 = jnp.concatenate(dirs, axis=0)
+        pd3 = jnp.concatenate(
+            [inf if point_dists[i] is None else point_dists[i]
+             for i in range(L)], axis=0)
+        ispt3 = jnp.concatenate(
+            [jnp.full((r,), point_dists[i] is not None) for i in range(L)])
+        sp3 = jnp.concatenate([surf_pos] * L, axis=0)
+        ouv3 = jnp.concatenate([orig_model_uv[0]] * L, axis=0)
+        osimple3 = jnp.concatenate([orig_model_uv[1]] * L, axis=0)
+        trans3 = trans_eff.reshape(L * r)
+        tprev3 = t_prev.reshape(L * r)
+        still3 = still.reshape(L * r)
+
+        def cast_step_cond():
+            def cond(carry):
+                k, trans, t_p, walking = carry
+                return (k < steps) & jnp.any(walking)
+
+            def step(carry):
+                k, trans, t_p, walking = carry
+                hit = closest_hit(o3, d3, t_p, tv, block=spec.tri_block,
+                                  active=walking if scene.use_bvh else None,
+                                  include_spheres=False)
+                found = walking & hit.valid
+                walk_row = _tri_attr(scene, hit)
+                model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
+                occ_pos = o3 + d3 * jnp.where(
+                    jnp.isfinite(hit.t), hit.t, 0.0)[:, None]
+                occ_dist = jnp.linalg.norm(occ_pos - sp3, axis=-1)
+                found = found & ~(ispt3 & (occ_dist > pd3))
+                uv = jnp.where(ispt3[:, None], ouv3, uv)
+                simple = jnp.where(ispt3, osimple3, simple)
+                op = texturing.sample_opacity(
+                    scene, model, uv, simple,
+                    rows=None if spec.differentiable else walk_row)
+                trans = jnp.where(found, trans * (1.0 - op), trans)
+                walking = found & (trans != 0.0)
+                t_p = jnp.where(walking, hit.t, t_p)
+                return (k + 1, trans, t_p, walking)
+
+            return cond, step
+
+        def residual(trans3, tprev3, still3):
+            condf, stepf = cast_step_cond()
+            return jax.lax.while_loop(
+                condf, stepf, (jnp.int32(kcap), trans3, tprev3, still3))[1]
+
+        trans3 = jax.lax.cond(
+            jnp.any(still3), residual,
+            lambda trans3, tprev3, still3: trans3,
+            trans3, tprev3, still3)
+        trans_eff = jax.lax.stop_gradient(trans3).reshape(L, r)
+
+    # Opaque-sphere occlusion (partitioned scenes require opaque spheres)
+    # stays in XLA, exactly as in ops.intersect.occluded_multi.
+    outs = []
+    sph = scene.num_real_spheres != 0
+    if sph:
+        from path_tracer_tpu.ops.intersect import _sphere_quadratic
+    for i in range(L):
+        att = att0s[i] * trans_eff[i][:, None]
+        if sph:
+            a, b, cc = _sphere_quadratic(s_o, dirs[i], scene)
+            disc = b * b - 4.0 * a * cc
+            has = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            t1 = (-b - sq) / (2.0 * a)
+            t2 = (-b + sq) / (2.0 * a)
+            v1 = has & (t1 >= 0.0) & in_ranges[i](t1)
+            v2 = has & (t2 >= 0.0) & in_ranges[i](t2)
+            att = jnp.where(jnp.any(v1 | v2, axis=1)[:, None], 0.0, att)
+        outs.append(att)
+    return outs
+
+
 def _shadow_attenuation_multi(scene, s_o, dirs, actives, colors, spec, steps,
                               point_dists, surf_pos, orig_model_uv, blockeds):
     """All L lights' partitioned shadow attenuations in ONE stacked walk.
@@ -1428,9 +1592,11 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
         blocked_all = None
         n_lights = scene.num_dir_lights + scene.num_point_lights
         part = partitioned(scene)
-        if (scene.all_opaque or part) and n_lights > 1:
-            from path_tracer_tpu.ops.intersect import occluded_multi
-
+        # FUSED shadow path: opaque any-hit + transmittance for ALL lights
+        # in ONE kernel launch per bounce (ops/pallas_shadow.py).
+        fused = (part and not scene.all_opaque and n_lights >= 1
+                 and _use_fused_shadow(scene, spec))
+        if ((scene.all_opaque or part) and n_lights > 1) or fused:
             dirs_all, dists_all, act_all = [], [], []
             for li in range(scene.num_dir_lights):
                 sd = jnp.broadcast_to(-scene.dir_dir[li], d.shape)
@@ -1441,16 +1607,28 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
                 dirs_all.append(-pt_dirs[li])
                 dists_all.append(pt_dists[li])
                 act_all.append(shadow_active(-pt_dirs[li]))
-            blocked_all = occluded_multi(
-                shadow_o, dirs_all, opaque_view(scene) if part else scene,
-                surf_pos=surf.pos, max_dists=dists_all, actives=act_all,
-                block=spec.tri_block)
+            if not fused:
+                from path_tracer_tpu.ops.intersect import occluded_multi
+
+                blocked_all = occluded_multi(
+                    shadow_o, dirs_all,
+                    opaque_view(scene) if part else scene,
+                    surf_pos=surf.pos, max_dists=dists_all,
+                    actives=act_all, block=spec.tri_block)
 
         # Partitioned mixed-opacity scenes additionally run ALL lights'
         # transparent transmittance walks as ONE stacked chunked walk
-        # (launch-overhead-bound otherwise; _shadow_attenuation_multi).
+        # (launch-overhead-bound otherwise; _shadow_attenuation_multi) —
+        # or, on the fused path, BOTH halves in the one fused launch.
         att_pre = None
-        if part and blocked_all is not None and not scene.all_opaque:
+        if fused:
+            colors_all = ([scene.dir_color[li]
+                           for li in range(scene.num_dir_lights)]
+                          + [1.0] * scene.num_point_lights)
+            att_pre = _shadow_attenuation_fused(
+                scene, shadow_o, dirs_all, act_all, colors_all, spec,
+                shadow_steps, dists_all, surf.pos, (surf.uv, surf.simple))
+        elif part and blocked_all is not None and not scene.all_opaque:
             colors_all = ([scene.dir_color[li]
                            for li in range(scene.num_dir_lights)]
                           + [1.0] * scene.num_point_lights)

@@ -792,6 +792,119 @@ def closest_hit_triangles_flat(o, d, t_prev, scene,
     )
 
 
+def flat_occ_set(ox, oy, oz, dx, dy, dz, t_max, blk_ref, bid_ref, bw_ref,
+                 *, bpad: int, block: int):
+    """[RT] any-hit occlusion (1.0/0.0) for one direction/t_max set over
+    the flat block tables — the per-set body of _flat_occ_kernel, shared
+    with the fused shadow kernel (ops/pallas_shadow.py). Dead lanes
+    (t_max < 0) report occluded."""
+    bmn0 = blk_ref[0, :][None, :]
+    bmn1 = blk_ref[1, :][None, :]
+    bmn2 = blk_ref[2, :][None, :]
+    bmx0 = blk_ref[3, :][None, :]
+    bmx1 = blk_ref[4, :][None, :]
+    bmx2 = blk_ref[5, :][None, :]
+    bids = bid_ref[0, :][None, :]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
+
+    def rc(a):
+        return a[:, None]
+
+    # Zero-guarded reciprocals (see the closest-hit kernel note).
+    inv_dx = jnp.where(dx == 0.0, 1e30,
+                       1.0 / jnp.where(dx == 0.0, 1.0, dx))
+    inv_dy = jnp.where(dy == 0.0, 1e30,
+                       1.0 / jnp.where(dy == 0.0, 1.0, dy))
+    inv_dz = jnp.where(dz == 0.0, 1e30,
+                       1.0 / jnp.where(dz == 0.0, 1.0, dz))
+
+    t0x = (bmn0 - rc(ox)) * rc(inv_dx)
+    t1x = (bmx0 - rc(ox)) * rc(inv_dx)
+    t0y = (bmn1 - rc(oy)) * rc(inv_dy)
+    t1y = (bmx1 - rc(oy)) * rc(inv_dy)
+    t0z = (bmn2 - rc(oz)) * rc(inv_dz)
+    t1z = (bmx2 - rc(oz)) * rc(inv_dz)
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z))
+    # Dead lanes (t_max = -1) fail tn <= t_max for tn >= 0; tn < 0
+    # with tf >= max(tn,0) means origin inside the box — still a
+    # candidate only when t_max >= 0 (occludable lane).
+    hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0))
+                     & (tn <= rc(t_max)) & (rc(t_max) >= 0.0)
+                     & (bids >= 0),
+                     1.0, 0.0)  # [RT,B]
+    # Closest blocks first: the nearest block along the rays is the
+    # most likely occluder, so lanes saturate sooner.
+    tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
+                     keepdims=True)  # [1,B]
+
+    def visit_block(block_id, occ):
+        # Baldwin-Weber dense visit (see _flat_kernel.visit_block).
+        start = pl.multiple_of(block_id * block, 128)
+        bw = bw_ref[:, pl.ds(start, block)]
+
+        def tr(c):
+            return bw[c, :][None, :]
+
+        dn = rc(dx) * tr(0) + rc(dy) * tr(1) + rc(dz) * tr(2)
+        ok = jnp.abs(dn) >= DET_EPS
+        invdn = 1.0 / jnp.where(ok, dn, 1.0)
+        on = rc(ox) * tr(0) + rc(oy) * tr(1) + rc(oz) * tr(2)
+        t = (tr(3) - on) * invdn
+        ok &= (t >= T_MIN) & (t <= rc(t_max))
+
+        hx = rc(ox) + t * rc(dx)
+        hy = rc(oy) + t * rc(dy)
+        hz = rc(oz) + t * rc(dz)
+        u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
+        ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
+        v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
+        ok &= (v >= 0.0) & (u + v <= 1.0)
+
+        hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1)  # [RT]
+        return jnp.maximum(occ, hit)
+
+    def next_hit(visited, occ):
+        live = hit0 * jnp.where(rc(occ) < 1.0, 1.0, 0.0)
+        anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
+            & (visited == 0.0)
+        cand_t = jnp.where(anyhit, tn_min, jnp.inf)
+        m = jnp.min(cand_t)
+        return jnp.min(jnp.where(anyhit & (cand_t == m), iota_b,
+                                 bpad))
+
+    def cond(state):
+        return state[0] < bpad
+
+    def body(state):
+        cur, visited, occ = state
+        bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
+        occ = visit_block(bid, occ)
+        visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
+        nxt = next_hit(visited, occ)
+        if FLAT_PAIR:
+            def second(o_):
+                bid2 = jnp.sum(jnp.where(iota_b == nxt, bids, 0))
+                return visit_block(bid2, o_)
+
+            occ = jax.lax.cond(nxt < bpad, second, lambda o_: o_,
+                               occ)
+            visited = visited + jnp.where(iota_b == nxt, 1.0, 0.0)
+            nxt = next_hit(visited, occ)
+        return (nxt, visited, occ)
+
+    occ0 = jnp.where(t_max < 0.0, 1.0, 0.0)  # dead lanes: occluded
+    visited0 = jnp.zeros((1, bpad), jnp.float32)
+    first = next_hit(visited0, occ0)
+    _, _, occ = jax.lax.while_loop(cond, body,
+                                   (first, visited0, occ0))
+    return occ
+
+
 def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, bw_ref,
                      out_ref, *, bpad: int, block: int, n_tiles: int,
                      n_sets: int = 1):
@@ -805,121 +918,14 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, bw_ref,
         oy = o_ref[1, pl.ds(base, RAY_TILE)]
         oz = o_ref[2, pl.ds(base, RAY_TILE)]
 
-        bmn0 = blk_ref[0, :][None, :]
-        bmn1 = blk_ref[1, :][None, :]
-        bmn2 = blk_ref[2, :][None, :]
-        bmx0 = blk_ref[3, :][None, :]
-        bmx1 = blk_ref[4, :][None, :]
-        bmx2 = blk_ref[5, :][None, :]
-        bids = bid_ref[0, :][None, :]
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
-
-        def rc(a):
-            return a[:, None]
-
-        def one_set(li):
+        for li in range(n_sets):
             dx = d_ref[3 * li + 0, pl.ds(base, RAY_TILE)]
             dy = d_ref[3 * li + 1, pl.ds(base, RAY_TILE)]
             dz = d_ref[3 * li + 2, pl.ds(base, RAY_TILE)]
             t_max = tmax_ref[li, pl.ds(base, RAY_TILE)]
-            # Zero-guarded reciprocals (see the closest-hit kernel note).
-            inv_dx = jnp.where(dx == 0.0, 1e30,
-                               1.0 / jnp.where(dx == 0.0, 1.0, dx))
-            inv_dy = jnp.where(dy == 0.0, 1e30,
-                               1.0 / jnp.where(dy == 0.0, 1.0, dy))
-            inv_dz = jnp.where(dz == 0.0, 1e30,
-                               1.0 / jnp.where(dz == 0.0, 1.0, dz))
-
-            t0x = (bmn0 - rc(ox)) * rc(inv_dx)
-            t1x = (bmx0 - rc(ox)) * rc(inv_dx)
-            t0y = (bmn1 - rc(oy)) * rc(inv_dy)
-            t1y = (bmx1 - rc(oy)) * rc(inv_dy)
-            t0z = (bmn2 - rc(oz)) * rc(inv_dz)
-            t1z = (bmx2 - rc(oz)) * rc(inv_dz)
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.minimum(t0z, t1z))
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.maximum(t0z, t1z))
-            # Dead lanes (t_max = -1) fail tn <= t_max for tn >= 0; tn < 0
-            # with tf >= max(tn,0) means origin inside the box — still a
-            # candidate only when t_max >= 0 (occludable lane).
-            hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0))
-                             & (tn <= rc(t_max)) & (rc(t_max) >= 0.0)
-                             & (bids >= 0),
-                             1.0, 0.0)  # [RT,B]
-            # Closest blocks first: the nearest block along the rays is the
-            # most likely occluder, so lanes saturate sooner.
-            tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
-                             keepdims=True)  # [1,B]
-            run_walk(li, dx, dy, dz, t_max, hit0, tn, tn_min)
-
-        def run_walk(li, dx, dy, dz, t_max, hit0, tn, tn_min):
-            def visit_block(block_id, occ):
-                # Baldwin-Weber dense visit (see _flat_kernel.visit_block).
-                start = pl.multiple_of(block_id * block, 128)
-                bw = bw_ref[:, pl.ds(start, block)]
-
-                def tr(c):
-                    return bw[c, :][None, :]
-
-                dn = rc(dx) * tr(0) + rc(dy) * tr(1) + rc(dz) * tr(2)
-                ok = jnp.abs(dn) >= DET_EPS
-                invdn = 1.0 / jnp.where(ok, dn, 1.0)
-                on = rc(ox) * tr(0) + rc(oy) * tr(1) + rc(oz) * tr(2)
-                t = (tr(3) - on) * invdn
-                ok &= (t >= T_MIN) & (t <= rc(t_max))
-
-                hx = rc(ox) + t * rc(dx)
-                hy = rc(oy) + t * rc(dy)
-                hz = rc(oz) + t * rc(dz)
-                u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
-                ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
-                v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
-                ok &= (v >= 0.0) & (u + v <= 1.0)
-
-                hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1)  # [RT]
-                return jnp.maximum(occ, hit)
-
-            def next_hit(visited, occ):
-                live = hit0 * jnp.where(rc(occ) < 1.0, 1.0, 0.0)
-                anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
-                    & (visited == 0.0)
-                cand_t = jnp.where(anyhit, tn_min, jnp.inf)
-                m = jnp.min(cand_t)
-                return jnp.min(jnp.where(anyhit & (cand_t == m), iota_b,
-                                         bpad))
-
-            def cond(state):
-                return state[0] < bpad
-
-            def body(state):
-                cur, visited, occ = state
-                bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
-                occ = visit_block(bid, occ)
-                visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
-                nxt = next_hit(visited, occ)
-                if FLAT_PAIR:
-                    def second(o_):
-                        bid2 = jnp.sum(jnp.where(iota_b == nxt, bids, 0))
-                        return visit_block(bid2, o_)
-
-                    occ = jax.lax.cond(nxt < bpad, second, lambda o_: o_,
-                                       occ)
-                    visited = visited + jnp.where(iota_b == nxt, 1.0, 0.0)
-                    nxt = next_hit(visited, occ)
-                return (nxt, visited, occ)
-
-            occ0 = jnp.where(t_max < 0.0, 1.0, 0.0)  # dead lanes: occluded
-            visited0 = jnp.zeros((1, bpad), jnp.float32)
-            first = next_hit(visited0, occ0)
-            _, _, occ = jax.lax.while_loop(cond, body,
-                                           (first, visited0, occ0))
+            occ = flat_occ_set(ox, oy, oz, dx, dy, dz, t_max, blk_ref,
+                               bid_ref, bw_ref, bpad=bpad, block=block)
             out_ref[li, pl.ds(base, RAY_TILE)] = occ
-
-        for li in range(n_sets):
-            one_set(li)
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)

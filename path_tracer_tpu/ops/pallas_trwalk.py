@@ -421,6 +421,179 @@ def _rnd_at(rnd_ref, k, base):
     return rnd_ref[pl.ds(k, 1), pl.ds(base, WALK_TILE)][0]
 
 
+def trans_tile(ox, oy, oz, dx, dy, dz, pd, is_pt, spx, spy, spz,
+               ouvx, ouvy, osimple, bw_ref, grp_ref, rows_ref, tex_ref,
+               lut_ref, *, pages, live, steps_cap, textured, interp,
+               groups, static_pt=None):
+    """One lane tile of the transmittance walk -> (trans, t_prev,
+    still_walking). Shared by _trans_kernel (stacked [L*R] lanes, dynamic
+    per-tile point/directional dispatch) and the fused shadow kernel
+    (pallas_shadow.py, where each light set's type is STATIC —
+    ``static_pt`` True/False replaces the tile_all_pt cond)."""
+    rt = ox.shape[0]
+    init = (jnp.int32(0),
+            jnp.ones((rt,), jnp.float32),
+            jnp.full((rt,), -1.0, jnp.float32),
+            jnp.where(pd >= 0.0, 1.0, 0.0))
+
+    def idle():
+        return init[1:]
+
+    def rc(a):
+        return a[:, None]
+
+    def walk_loop():
+        """Sequential ascending-t walk — needed only when occluder
+        texels depend on the OCCLUDER's uv (textured directional/mixed
+        tiles): their per-candidate texel fetch rides the one-at-a-time
+        extraction."""
+        t_hi = jnp.where(pd >= 0.0, jnp.inf, -1.0)
+        t_mat, u_mat, v_mat, _ = _eval_mats(
+            ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref, groups)
+        uvx_mat, uvy_mat = _uv_mats(u_mat, v_mat, rows_ref)
+        # Candidate-free lanes skip the loop (see _alpha_kernel).
+        has_cand = jnp.isfinite(jnp.min(t_mat, axis=1))
+        init_w = (init[0], init[1], init[2],
+                  jnp.where((pd >= 0.0) & has_cand, 1.0, 0.0))
+
+        def cond(st):
+            return (st[0] < steps_cap) & jnp.any(st[3] > 0.0)
+
+        def body(st):
+            k, trans, t_prev, walking = st
+            tmin, col, sel = _extract(t_mat, t_prev)
+            found = (walking > 0.0) & jnp.isfinite(tmin)
+            # Behind-the-light cutoff, measured from the ORIGINAL
+            # surface (jnp.linalg.norm = sqrt of the left-assoc
+            # component sum).
+            t_safe = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
+            ocx = ox + t_safe * dx - spx
+            ocy = oy + t_safe * dy - spy
+            ocz = oz + t_safe * dz - spz
+            occ_dist = jnp.sqrt(ocx * ocx + ocy * ocy + ocz * ocz)
+            found = found & ~(is_pt & (occ_dist > pd))
+            if len(pages) > 1:
+                pfac, phas, ppage = _pick_rows(sel, rows_ref, (6, 7, 8))
+            else:
+                pfac, phas = _pick_rows(sel, rows_ref, (6, 7))
+                ppage = None
+            uvx = _pick(sel, uvx_mat)
+            uvy = _pick(sel, uvy_mat)
+            # Point lanes: ORIGINAL UV (mod.rs:324 quirk) — but still
+            # the OCCLUDER's texture page (occluder's material).
+            uvx = jnp.where(is_pt, ouvx, uvx)
+            uvy = jnp.where(is_pt, ouvy, uvy)
+            texel = _texel(uvx, uvy, ppage, tex_ref, lut_ref, pages,
+                           live)
+            # Original-hit TYPE: sphere originals factor-only.
+            use_factor = (phas <= 0.0) | (is_pt & osimple)
+            op = jnp.where(use_factor, pfac, texel * pfac)
+            trans = jnp.where(found, trans * (1.0 - op), trans)
+            walking = jnp.where(found & (trans != 0.0), 1.0, 0.0)
+            t_prev = jnp.where(walking > 0.0, tmin, t_prev)
+            return (k + 1, trans, t_prev, walking)
+
+        return jax.lax.while_loop(cond, body, init_w)[1:]
+
+    def make_walk_dense(pt_texel: bool):
+        """LOOP-FREE transmittance: the walk's result is order-
+        independent, so when every candidate's opacity is computable
+        densely — factor-only scenes, or all-point textured tiles
+        (the mod.rs:324 quirk fixes the texel at the ORIGINAL hit's
+        UV, one fetch per lane) — trans collapses to one masked
+        column product:
+
+        - behind-the-light stop: the sequential walk stops at the
+          FIRST candidate (ascending t) with occ_dist > pd, applying
+          nothing from there on. cut = min t over such candidates;
+          include exactly t < cut — reproduces the stop even where
+          occ_dist is non-monotone near the bias origin.
+        - trans == 0 stop: 0 absorbs every further factor — the
+          product over the full include set is identical.
+        - rounding: the product reassociates vs the ascending-t
+          chain (ulp-level, only on lanes with 2+ fractional
+          occluders); exact-equal-t duplicate pairs (shared-edge
+          crossings, measure-zero) each contribute a factor, where
+          the strict t > t_prev advance collapses them — the
+          reference's sorted-Vec walk (mod.rs:283-331) also applies
+          both, so the dense form is if anything closer to it. The
+          parity gates bound both as divergence rates.
+
+        Consumes EVERY candidate: steps_cap does not apply and the
+        residual cast walk never runs (still_walking = 0)."""
+        def walk():
+            t_hi = jnp.where(pd >= 0.0, jnp.inf, -1.0)
+            t_mat, u_mat, v_mat, _ = _eval_mats(
+                ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref, groups)
+            finite = jnp.isfinite(t_mat)
+            tc = jnp.where(finite, t_mat, 0.0)
+            ocx = rc(ox) + tc * rc(dx) - rc(spx)
+            ocy = rc(oy) + tc * rc(dy) - rc(spy)
+            ocz = rc(oz) + tc * rc(dz) - rc(spz)
+            occ_dist = jnp.sqrt(ocx * ocx + ocy * ocy + ocz * ocz)
+            # bool column reshapes are not lowerable (i1 minor-dim
+            # insertion): broadcast the masks as f32
+            ptf = rc(jnp.where(is_pt, 1.0, 0.0)) > 0.0
+            behind = finite & ptf & (occ_dist > rc(pd))
+            cut = jnp.min(jnp.where(behind, t_mat, jnp.inf), axis=1)
+            include = finite & (t_mat < cut[:, None])
+            fac = rows_ref[6, :][None, :]
+            if pt_texel:
+                # One fetch per lane PER PAGE (the occluder's material
+                # picks the page, so a lane's original-UV texel can
+                # differ per candidate column on multi-texture scenes);
+                # the per-column page row selects between them.
+                texel0 = _texel(ouvx, ouvy, None, tex_ref, lut_ref,
+                                pages[:1], live)[:, None]  # [RT,1]
+                if len(pages) > 1:
+                    prow = rows_ref[8, :][None, :]
+                    texel_mat = jnp.broadcast_to(texel0, t_mat.shape)
+                    for p in range(1, len(pages)):
+                        tp_l = _texel(ouvx, ouvy, None, tex_ref,
+                                      lut_ref, pages[p:p + 1],
+                                      live)[:, None]
+                        texel_mat = jnp.where(prow == float(p),
+                                              jnp.broadcast_to(
+                                                  tp_l, t_mat.shape),
+                                              texel_mat)
+                    texel0 = texel_mat
+                has = rows_ref[7, :][None, :]
+                use_factor = ((has <= 0.0)
+                              | (rc(jnp.where(osimple, 1.0, 0.0))
+                                 > 0.0))
+                op = jnp.where(use_factor, fac, texel0 * fac)
+            else:
+                op = jnp.broadcast_to(fac, t_mat.shape)
+            trans = _prod_cols(jnp.where(include, 1.0 - op, 1.0),
+                               interp)
+            return (jnp.where(pd >= 0.0, trans, 1.0),
+                    jnp.full((rt,), -1.0, jnp.float32),
+                    jnp.zeros((rt,), jnp.float32))
+
+        return walk
+
+    if not textured:
+        walk_branch = make_walk_dense(False)
+    elif static_pt is None:
+        # Tile dispatch: all active lanes point -> loop-free product
+        # (lanes stack per light, [L*R] with R a tile multiple, so
+        # every tile is single-light and the fast path covers every
+        # point-light tile; the loop handles directional/mixed tiles
+        # with exact per-lane `is_pt` wheres).
+        active0 = pd >= 0.0
+        tile_all_pt = ~jnp.any(active0 & ~is_pt)
+
+        def walk_branch():
+            return jax.lax.cond(tile_all_pt, make_walk_dense(True),
+                                walk_loop)
+    elif static_pt:
+        walk_branch = make_walk_dense(True)
+    else:
+        walk_branch = walk_loop
+
+    return jax.lax.cond(jnp.any(pd >= 0.0), walk_branch, idle)
+
+
 def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
                   tex_ref, lut_ref, fout_ref, *, T, pages, live, steps_cap,
                   n_tiles, textured, interp, groups):
@@ -433,181 +606,16 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
     fout rows: trans, t_prev, still_walking."""
     def tile_body(tile, _):
         base = tile * WALK_TILE
-        ox = o_ref[0, pl.ds(base, WALK_TILE)]
-        oy = o_ref[1, pl.ds(base, WALK_TILE)]
-        oz = o_ref[2, pl.ds(base, WALK_TILE)]
-        dx = d_ref[0, pl.ds(base, WALK_TILE)]
-        dy = d_ref[1, pl.ds(base, WALK_TILE)]
-        dz = d_ref[2, pl.ds(base, WALK_TILE)]
-        pd = aux_ref[0, pl.ds(base, WALK_TILE)]
-        is_pt = aux_ref[1, pl.ds(base, WALK_TILE)] > 0.0
-        spx = aux_ref[2, pl.ds(base, WALK_TILE)]
-        spy = aux_ref[3, pl.ds(base, WALK_TILE)]
-        spz = aux_ref[4, pl.ds(base, WALK_TILE)]
-        ouvx = aux_ref[5, pl.ds(base, WALK_TILE)]
-        ouvy = aux_ref[6, pl.ds(base, WALK_TILE)]
-        osimple = aux_ref[7, pl.ds(base, WALK_TILE)] > 0.0
-
-        rt = WALK_TILE
-        init = (jnp.int32(0),
-                jnp.ones((rt,), jnp.float32),
-                jnp.full((rt,), -1.0, jnp.float32),
-                jnp.where(pd >= 0.0, 1.0, 0.0))
-
-        def idle():
-            return init[1:]
-
-        def rc(a):
-            return a[:, None]
-
-        def walk_loop():
-            """Sequential ascending-t walk — needed only when occluder
-            texels depend on the OCCLUDER's uv (textured directional/mixed
-            tiles): their per-candidate texel fetch rides the one-at-a-time
-            extraction."""
-            t_hi = jnp.where(pd >= 0.0, jnp.inf, -1.0)
-            t_mat, u_mat, v_mat, _ = _eval_mats(
-                ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref, groups)
-            uvx_mat, uvy_mat = _uv_mats(u_mat, v_mat, rows_ref)
-            # Candidate-free lanes skip the loop (see _alpha_kernel).
-            has_cand = jnp.isfinite(jnp.min(t_mat, axis=1))
-            init_w = (init[0], init[1], init[2],
-                      jnp.where((pd >= 0.0) & has_cand, 1.0, 0.0))
-
-            def cond(st):
-                return (st[0] < steps_cap) & jnp.any(st[3] > 0.0)
-
-            def body(st):
-                k, trans, t_prev, walking = st
-                tmin, col, sel = _extract(t_mat, t_prev)
-                found = (walking > 0.0) & jnp.isfinite(tmin)
-                # Behind-the-light cutoff, measured from the ORIGINAL
-                # surface (jnp.linalg.norm = sqrt of the left-assoc
-                # component sum).
-                t_safe = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
-                ocx = ox + t_safe * dx - spx
-                ocy = oy + t_safe * dy - spy
-                ocz = oz + t_safe * dz - spz
-                occ_dist = jnp.sqrt(ocx * ocx + ocy * ocy + ocz * ocz)
-                found = found & ~(is_pt & (occ_dist > pd))
-                if len(pages) > 1:
-                    pfac, phas, ppage = _pick_rows(sel, rows_ref, (6, 7, 8))
-                else:
-                    pfac, phas = _pick_rows(sel, rows_ref, (6, 7))
-                    ppage = None
-                uvx = _pick(sel, uvx_mat)
-                uvy = _pick(sel, uvy_mat)
-                # Point lanes: ORIGINAL UV (mod.rs:324 quirk) — but still
-                # the OCCLUDER's texture page (occluder's material).
-                uvx = jnp.where(is_pt, ouvx, uvx)
-                uvy = jnp.where(is_pt, ouvy, uvy)
-                texel = _texel(uvx, uvy, ppage, tex_ref, lut_ref, pages,
-                               live)
-                # Original-hit TYPE: sphere originals factor-only.
-                use_factor = (phas <= 0.0) | (is_pt & osimple)
-                op = jnp.where(use_factor, pfac, texel * pfac)
-                trans = jnp.where(found, trans * (1.0 - op), trans)
-                walking = jnp.where(found & (trans != 0.0), 1.0, 0.0)
-                t_prev = jnp.where(walking > 0.0, tmin, t_prev)
-                return (k + 1, trans, t_prev, walking)
-
-            return jax.lax.while_loop(cond, body, init_w)[1:]
-
-        def make_walk_dense(pt_texel: bool):
-            """LOOP-FREE transmittance: the walk's result is order-
-            independent, so when every candidate's opacity is computable
-            densely — factor-only scenes, or all-point textured tiles
-            (the mod.rs:324 quirk fixes the texel at the ORIGINAL hit's
-            UV, one fetch per lane) — trans collapses to one masked
-            column product:
-
-            - behind-the-light stop: the sequential walk stops at the
-              FIRST candidate (ascending t) with occ_dist > pd, applying
-              nothing from there on. cut = min t over such candidates;
-              include exactly t < cut — reproduces the stop even where
-              occ_dist is non-monotone near the bias origin.
-            - trans == 0 stop: 0 absorbs every further factor — the
-              product over the full include set is identical.
-            - rounding: the product reassociates vs the ascending-t
-              chain (ulp-level, only on lanes with 2+ fractional
-              occluders); exact-equal-t duplicate pairs (shared-edge
-              crossings, measure-zero) each contribute a factor, where
-              the strict t > t_prev advance collapses them — the
-              reference's sorted-Vec walk (mod.rs:283-331) also applies
-              both, so the dense form is if anything closer to it. The
-              parity gates bound both as divergence rates.
-
-            Consumes EVERY candidate: steps_cap does not apply and the
-            residual cast walk never runs (still_walking = 0)."""
-            def walk():
-                t_hi = jnp.where(pd >= 0.0, jnp.inf, -1.0)
-                t_mat, u_mat, v_mat, _ = _eval_mats(
-                    ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref, groups)
-                finite = jnp.isfinite(t_mat)
-                tc = jnp.where(finite, t_mat, 0.0)
-                ocx = rc(ox) + tc * rc(dx) - rc(spx)
-                ocy = rc(oy) + tc * rc(dy) - rc(spy)
-                ocz = rc(oz) + tc * rc(dz) - rc(spz)
-                occ_dist = jnp.sqrt(ocx * ocx + ocy * ocy + ocz * ocz)
-                # bool column reshapes are not lowerable (i1 minor-dim
-                # insertion): broadcast the masks as f32
-                ptf = rc(jnp.where(is_pt, 1.0, 0.0)) > 0.0
-                behind = finite & ptf & (occ_dist > rc(pd))
-                cut = jnp.min(jnp.where(behind, t_mat, jnp.inf), axis=1)
-                include = finite & (t_mat < cut[:, None])
-                fac = rows_ref[6, :][None, :]
-                if pt_texel:
-                    # One fetch per lane PER PAGE (the occluder's material
-                    # picks the page, so a lane's original-UV texel can
-                    # differ per candidate column on multi-texture scenes);
-                    # the per-column page row selects between them.
-                    texel0 = _texel(ouvx, ouvy, None, tex_ref, lut_ref,
-                                    pages[:1], live)[:, None]  # [RT,1]
-                    if len(pages) > 1:
-                        prow = rows_ref[8, :][None, :]
-                        texel_mat = jnp.broadcast_to(texel0, t_mat.shape)
-                        for p in range(1, len(pages)):
-                            tp_l = _texel(ouvx, ouvy, None, tex_ref,
-                                          lut_ref, pages[p:p + 1],
-                                          live)[:, None]
-                            texel_mat = jnp.where(prow == float(p),
-                                                  jnp.broadcast_to(
-                                                      tp_l, t_mat.shape),
-                                                  texel_mat)
-                        texel0 = texel_mat
-                    has = rows_ref[7, :][None, :]
-                    use_factor = ((has <= 0.0)
-                                  | (rc(jnp.where(osimple, 1.0, 0.0))
-                                     > 0.0))
-                    op = jnp.where(use_factor, fac, texel0 * fac)
-                else:
-                    op = jnp.broadcast_to(fac, t_mat.shape)
-                trans = _prod_cols(jnp.where(include, 1.0 - op, 1.0),
-                                   interp)
-                return (jnp.where(pd >= 0.0, trans, 1.0),
-                        jnp.full((rt,), -1.0, jnp.float32),
-                        jnp.zeros((rt,), jnp.float32))
-
-            return walk
-
-        if textured:
-            # Tile dispatch: all active lanes point -> loop-free product
-            # (lanes stack per light, [L*R] with R a tile multiple, so
-            # every tile is single-light and the fast path covers every
-            # point-light tile; the loop handles directional/mixed tiles
-            # with exact per-lane `is_pt` wheres).
-            active0 = pd >= 0.0
-            tile_all_pt = ~jnp.any(active0 & ~is_pt)
-
-            def walk_branch():
-                return jax.lax.cond(tile_all_pt, make_walk_dense(True),
-                                    walk_loop)
-        else:
-            walk_branch = make_walk_dense(False)
-
-        trans, t_prev, walking = jax.lax.cond(jnp.any(pd >= 0.0),
-                                              walk_branch, idle)
-
+        ld = lambda ref, i: ref[i, pl.ds(base, WALK_TILE)]
+        trans, t_prev, walking = trans_tile(
+            ld(o_ref, 0), ld(o_ref, 1), ld(o_ref, 2),
+            ld(d_ref, 0), ld(d_ref, 1), ld(d_ref, 2),
+            ld(aux_ref, 0), ld(aux_ref, 1) > 0.0,
+            ld(aux_ref, 2), ld(aux_ref, 3), ld(aux_ref, 4),
+            ld(aux_ref, 5), ld(aux_ref, 6), ld(aux_ref, 7) > 0.0,
+            bw_ref, grp_ref, rows_ref, tex_ref, lut_ref,
+            pages=pages, live=live, steps_cap=steps_cap,
+            textured=textured, interp=interp, groups=groups)
         fout_ref[0, pl.ds(base, WALK_TILE)] = trans
         fout_ref[1, pl.ds(base, WALK_TILE)] = t_prev
         fout_ref[2, pl.ds(base, WALK_TILE)] = walking

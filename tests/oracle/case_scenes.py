@@ -41,7 +41,7 @@ def resolve_scene(spec: str) -> Path:
         from path_tracer_tpu.scene.showcase import write_showcase_scene_dir
 
         write_showcase_scene_dir(out, grid=64, textured=True)
-    elif tag == "glb_converted":
+    elif tag in ("glb_converted", "glb_multi_opacity"):
         import sys
 
         sys.path.insert(0, str(REPO))
@@ -51,7 +51,7 @@ def resolve_scene(spec: str) -> Path:
         from path_tracer_tpu.scene.gltf import convert_gltf_to_isf
 
         glb = out / "scene.glb"
-        write_glb(glb)
+        write_glb(glb, multi_opacity=(tag == "glb_multi_opacity"))
         convert_gltf_to_isf(glb, out)
     else:
         raise ValueError(f"unknown generated-scene tag {spec!r}")

@@ -60,6 +60,9 @@ CASES = {
     # 65k-pixel mean averages residual per-pixel MC noise down).
     "glb_converted_256": (3.0, None, 0.02),
     "glb_converted_512": (3.0, None, 0.02),
+    # Multi-material GLB with TWO distinct converted opacity textures:
+    # the multi-page fused-walk path on real converted content.
+    "glb_multi_opacity": (3.0, None, 0.02),
 }
 
 

@@ -58,6 +58,10 @@ CASES = {
     "glb_converted_256": ("@glb_converted", 24, 4, 256, 256),
     # ... and at the full 512^2 of BASELINE #3 (chip gate + CPU suite).
     "glb_converted_512": ("@glb_converted", 12, 4, 512, 512),
+    # Multi-material GLB whose base-color textures carry TWO distinct alpha
+    # patterns -> two converted opacity textures: the multi-page fused-walk
+    # path on real converted content (VERDICT r4 next #8).
+    "glb_multi_opacity": ("@glb_multi_opacity", 16, 4, 256, 256),
 }
 
 

@@ -81,8 +81,63 @@ def _dome(n_seg: int = 24):
             np.asarray(uvs, np.float32), np.asarray(idx, np.uint32))
 
 
-def write_glb(path) -> int:
-    """Write the GLB; returns the total triangle count."""
+def _cutout_png(n: int, kind: str) -> bytes:
+    """RGBA base-color texture whose ALPHA carries a cutout pattern — the
+    converter splits it into a separate gray opacity texture (ref
+    gltf.rs:79-130). Two kinds so a multi-material GLB yields two DISTINCT
+    opacity textures."""
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:n, 0:n]
+    cx, cy = (xx / n) * 2 - 1, (yy / n) * 2 - 1
+    if kind == "holes":
+        r = np.sqrt(((xx % 16) - 8.0) ** 2 + ((yy % 16) - 8.0) ** 2)
+        a = np.where(r < 6.0, 40, 255).astype(np.uint8)
+        rgb = np.stack([60 + 0 * xx, 140 + 40 * ((xx // 16) % 2),
+                        60 + 0 * yy], axis=-1).astype(np.uint8)
+    else:  # "stripes": soft diagonal alpha ramp bands
+        a = (255 * (0.15 + 0.85 * (np.sin((cx + cy) * 9.0) * 0.5 + 0.5))
+             ).astype(np.uint8)
+        rgb = np.stack([180 + 0 * xx, 120 + 0 * xx, 70 + 0 * yy],
+                       axis=-1).astype(np.uint8)
+    img = np.concatenate([rgb, a[..., None]], axis=-1)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGBA").save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _wall(x0, z0, x1, z1, y0, y1, nx: int = 6, ny: int = 3):
+    """Vertical quad-grid wall between (x0,z0) and (x1,z1)."""
+    verts, norms, uvs, idx = [], [], [], []
+    dx, dz = x1 - x0, z1 - z0
+    ln = float(np.hypot(dx, dz))
+    n = np.float32([dz / ln, 0.0, -dx / ln])
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            t = i / nx
+            s = j / ny
+            verts.append([x0 + dx * t, y0 + (y1 - y0) * s, z0 + dz * t])
+            norms.append(n)
+            uvs.append([t * 2.0, s])
+    for j in range(ny):
+        for i in range(nx):
+            a = j * (nx + 1) + i
+            b = a + 1
+            c = a + (nx + 1)
+            d = c + 1
+            idx.append([a, c, b])
+            idx.append([b, c, d])
+    return (np.asarray(verts, np.float32), np.asarray(norms, np.float32),
+            np.asarray(uvs, np.float32), np.asarray(idx, np.uint32))
+
+
+def write_glb(path, multi_opacity: bool = False) -> int:
+    """Write the GLB; returns the total triangle count.
+
+    ``multi_opacity`` adds two cutout walls whose RGBA base-color textures
+    carry DIFFERENT alpha patterns — the converted ISF then holds multiple
+    distinct opacity textures (multi-page fused-walk coverage; VERDICT r4
+    next #8 pairs with #3)."""
     tpos, tnrm, tuv, tidx = _terrain()
     dpos, dnrm, duv, didx = _dome()
     png = _checker_png()
@@ -114,9 +169,13 @@ def write_glb(path) -> int:
         accessors.append(acc)
         return len(accessors) - 1
 
+    prims = [(tpos, tnrm, tuv, tidx, 0), (dpos, dnrm, duv, didx, 1)]
+    if multi_opacity:
+        prims.append((*_wall(-12.0, -4.0, 12.0, -10.0, 0.5, 6.5), 2))
+        prims.append((*_wall(-10.0, 8.0, 10.0, 3.0, 0.5, 6.0), 3))
+
     meshes = []
-    for pos, nrm, uv, idx, mat in ((tpos, tnrm, tuv, tidx, 0),
-                                   (dpos, dnrm, duv, didx, 1)):
+    for pos, nrm, uv, idx, mat in prims:
         p = add_accessor(pos, 5126, "VEC3", 34962)
         n = add_accessor(nrm, 5126, "VEC3", 34962)
         u = add_accessor(uv, 5126, "VEC2", 34962)
@@ -127,13 +186,35 @@ def write_glb(path) -> int:
 
     img_view = add_blob(png)
 
+    textures = [{"source": 0}]
+    images = [{"bufferView": img_view, "mimeType": "image/png"}]
+    materials = [
+        {"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0},
+            "metallicFactor": 0.1, "roughnessFactor": 0.9}},
+        {"pbrMetallicRoughness": {
+            "baseColorFactor": [0.7, 0.8, 1.0, 0.35],
+            "metallicFactor": 0.0, "roughnessFactor": 0.3},
+         "alphaMode": "BLEND"},
+    ]
+    node_meshes = [0, 1]
+    if multi_opacity:
+        for k, kind in enumerate(("holes", "stripes")):
+            v = add_blob(_cutout_png(64, kind))
+            images.append({"bufferView": v, "mimeType": "image/png"})
+            textures.append({"source": len(images) - 1})
+            materials.append({"pbrMetallicRoughness": {
+                "baseColorTexture": {"index": len(textures) - 1},
+                "metallicFactor": 0.0, "roughnessFactor": 0.8},
+                "alphaMode": "BLEND", "doubleSided": True})
+            node_meshes.append(2 + k)
+
+    mesh_nodes = [{"mesh": m} for m in node_meshes]
     doc = {
         "asset": {"version": "2.0"},
         "scene": 0,
-        "scenes": [{"nodes": [0, 1, 2, 3]}],
-        "nodes": [
-            {"mesh": 0},
-            {"mesh": 1},
+        "scenes": [{"nodes": list(range(len(mesh_nodes) + 2))}],
+        "nodes": mesh_nodes + [
             # Camera looking down at the terrain from (0, 18, 34).
             {"camera": 0, "translation": [0.0, 18.0, 34.0],
              "rotation": [-0.2164396, 0.0, 0.0, 0.9762960]},
@@ -143,18 +224,10 @@ def write_glb(path) -> int:
         "cameras": [{"type": "perspective",
                      "perspective": {"yfov": 0.7, "znear": 0.1,
                                      "zfar": 200.0}}],
-        "materials": [
-            {"pbrMetallicRoughness": {
-                "baseColorTexture": {"index": 0},
-                "metallicFactor": 0.1, "roughnessFactor": 0.9}},
-            {"pbrMetallicRoughness": {
-                "baseColorFactor": [0.7, 0.8, 1.0, 0.35],
-                "metallicFactor": 0.0, "roughnessFactor": 0.3},
-             "alphaMode": "BLEND"},
-        ],
+        "materials": materials,
         "meshes": meshes,
-        "textures": [{"source": 0}],
-        "images": [{"bufferView": img_view, "mimeType": "image/png"}],
+        "textures": textures,
+        "images": images,
         "extensions": {"KHR_lights_punctual": {"lights": [
             {"type": "point", "color": [1.0, 0.95, 0.9],
              "intensity": 1200.0}]}},
@@ -176,7 +249,7 @@ def write_glb(path) -> int:
         f.write(json_chunk)
         f.write(struct.pack("<II", len(bin_chunk), 0x004E4942))
         f.write(bin_chunk)
-    return int(tidx.shape[0] + didx.shape[0])
+    return int(sum(p[3].shape[0] for p in prims))
 
 
 if __name__ == "__main__":

@@ -312,6 +312,23 @@ def main() -> int:
         check("trwalk kernels vs XLA walks (compiled render)",
               flip <= 1e-3 and dmax <= 0.05,
               f"max|d|={dmax:.2e} flip_rate={flip:.2e}")
+
+        # Fused shadow kernel (ops/pallas_shadow.py): the one-launch
+        # opaque-any-hit + transmittance path vs the two-launch path.
+        # Both call the same shared tile functions, so the compiled
+        # difference is XLA-glue fusion only (1-ulp class).
+        from path_tracer_tpu.models.integrator import _use_fused_shadow
+
+        if _use_fused_shadow(tex_scene, wspec):
+            _os.environ["PT_NO_FUSED_SHADOW"] = "1"
+            c = render_tex()
+            del _os.environ["PT_NO_FUSED_SHADOW"]
+            dmax2 = float(np.abs(a - c).max())
+            check("fused shadow kernel vs two-launch (compiled render)",
+                  dmax2 <= 1e-5, f"max|d|={dmax2:.2e}")
+        else:
+            check("fused shadow kernel vs two-launch (compiled render)",
+                  False, "_use_fused_shadow unexpectedly False")
     else:
         check("trwalk kernels vs XLA walks (compiled render)", False,
               "tr_kernel_ok unexpectedly False on the textured showcase")

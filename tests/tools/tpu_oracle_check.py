@@ -30,7 +30,11 @@ DEFAULT_CASES = ("cube", "head", "spheres", "alpha_transparency",
                  # the furnace energy-conservation scenes must be verified
                  # with the COMPILED kernels too, not only on CPU.
                  "reflection", "white_furnace_direct",
-                 "white_furnace_indirect")
+                 "white_furnace_indirect",
+                 # 11th scene (VERDICT r4 next #8): multi-material GLB with
+                 # two distinct converted opacity textures — the multi-page
+                 # fused walks on real converted content, on chip.
+                 "glb_multi_opacity")
 
 
 def main(cases) -> int:
