@@ -52,6 +52,7 @@ def main() -> None:
     pix = jnp.asarray(pad[ti * R : (ti + 1) * R])
 
     orig = dict(
+        shadow_fused=I._shadow_attenuation_fused,
         shadow_multi=I._shadow_attenuation_multi,
         eval_direct=brdf.eval_direct,
         eval_indirect=brdf.eval_indirect,
@@ -63,6 +64,7 @@ def main() -> None:
     )
 
     def restore():
+        I._shadow_attenuation_fused = orig["shadow_fused"]
         I._shadow_attenuation_multi = orig["shadow_multi"]
         brdf.eval_direct = orig["eval_direct"]
         brdf.eval_indirect = orig["eval_indirect"]
@@ -88,6 +90,13 @@ def main() -> None:
                                   jnp.broadcast_to(colors[i], s_o.shape),
                                   0.0) for i in range(len(dirs))]
             I._shadow_attenuation_multi = fake_shadow_multi
+
+            def fake_fused(scene, s_o, dirs, actives, colors, spec, steps,
+                           point_dists, surf_pos, orig_model_uv):
+                return [jnp.where(actives[i][:, None],
+                                  jnp.broadcast_to(colors[i], s_o.shape),
+                                  0.0) for i in range(len(dirs))]
+            I._shadow_attenuation_fused = fake_fused
         elif variant == "no_direct":
             brdf.eval_direct = lambda mat, f0, n, v, l: jnp.ones_like(n)
         elif variant == "no_indirect":
