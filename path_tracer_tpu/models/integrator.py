@@ -1106,10 +1106,19 @@ def _use_fused_shadow(scene, spec) -> bool:
     launch per bounce. Requires the fused-walk preconditions
     (_use_tr_kernel) plus the single-level FLAT block tables the in-kernel
     any-hit walks (flat2/tree scenes keep the two-launch path).
-    PT_NO_FUSED_SHADOW=1 forces the two-launch path (A/B + parity)."""
+
+    DEFAULT OFF (PT_FUSED_SHADOW=1 opt-in): value-identical and ~7%
+    faster as a standalone stage, but in the full textured-showcase
+    program XLA's memory-space assignment then stops keeping the
+    wide-texel gather table (tex_wide, ~17 MB) VMEM-resident, and the
+    SHADING-path gather goes 2.4 -> 13.5 ms/bounce — a net e2e loss
+    (3.68 -> 3.36 Mray/s; plain factor-only scenes measure exactly
+    neutral). Chunked launches, tighter declared VMEM limits, and an
+    ordering barrier all failed to restore the prefetch (round-5 PERF.md
+    "fused shadow kernel"); revisit if XLA's MSA heuristics change."""
     import os
 
-    if os.environ.get("PT_NO_FUSED_SHADOW") == "1":
+    if os.environ.get("PT_FUSED_SHADOW") != "1":
         return False
     if not _use_tr_kernel(scene, spec):
         return False
@@ -1185,24 +1194,30 @@ def _shadow_attenuation_fused(scene, s_o, dirs, actives, colors, spec,
     if kcap < steps:
         # Exact stacked cast residual for lanes past the kernel step cap
         # (same contract as _shadow_attenuation_multi), gated by lax.cond.
+        # ALL stacked-array construction happens INSIDE the taken branch:
+        # materializing the [L*R] concats unconditionally measured
+        # ~13.5 ms/bounce of pure HBM traffic for a residual that never
+        # runs on the measured scenes (round-5 profile).
         from path_tracer_tpu.scene.device_scene import transparent_view
 
         tv = transparent_view(scene)
-        o3 = jnp.concatenate([s_o] * L, axis=0)
-        d3 = jnp.concatenate(dirs, axis=0)
-        pd3 = jnp.concatenate(
-            [inf if point_dists[i] is None else point_dists[i]
-             for i in range(L)], axis=0)
-        ispt3 = jnp.concatenate(
-            [jnp.full((r,), point_dists[i] is not None) for i in range(L)])
-        sp3 = jnp.concatenate([surf_pos] * L, axis=0)
-        ouv3 = jnp.concatenate([orig_model_uv[0]] * L, axis=0)
-        osimple3 = jnp.concatenate([orig_model_uv[1]] * L, axis=0)
         trans3 = trans_eff.reshape(L * r)
         tprev3 = t_prev.reshape(L * r)
         still3 = still.reshape(L * r)
 
-        def cast_step_cond():
+        def residual(trans3, tprev3, still3):
+            o3 = jnp.concatenate([s_o] * L, axis=0)
+            d3 = jnp.concatenate(dirs, axis=0)
+            pd3 = jnp.concatenate(
+                [inf if point_dists[i] is None else point_dists[i]
+                 for i in range(L)], axis=0)
+            ispt3 = jnp.concatenate(
+                [jnp.full((r,), point_dists[i] is not None)
+                 for i in range(L)])
+            sp3 = jnp.concatenate([surf_pos] * L, axis=0)
+            ouv3 = jnp.concatenate([orig_model_uv[0]] * L, axis=0)
+            osimple3 = jnp.concatenate([orig_model_uv[1]] * L, axis=0)
+
             def cond(carry):
                 k, trans, t_p, walking = carry
                 return (k < steps) & jnp.any(walking)
@@ -1229,12 +1244,8 @@ def _shadow_attenuation_fused(scene, s_o, dirs, actives, colors, spec,
                 t_p = jnp.where(walking, hit.t, t_p)
                 return (k + 1, trans, t_p, walking)
 
-            return cond, step
-
-        def residual(trans3, tprev3, still3):
-            condf, stepf = cast_step_cond()
             return jax.lax.while_loop(
-                condf, stepf, (jnp.int32(kcap), trans3, tprev3, still3))[1]
+                cond, step, (jnp.int32(kcap), trans3, tprev3, still3))[1]
 
         trans3 = jax.lax.cond(
             jnp.any(still3), residual,
@@ -1625,8 +1636,15 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
             colors_all = ([scene.dir_color[li]
                            for li in range(scene.num_dir_lights)]
                           + [1.0] * scene.num_point_lights)
+            # Schedule the fused-kernel input prep (the [3L,R] transposes/
+            # stacks) strictly AFTER the shading-path texture gathers:
+            # without this barrier XLA hoists the ~75 MB of prep buffers
+            # over the gathers, evicting the gather tables' VMEM prefetch
+            # (wide-texel gather measured 2.4 -> 13.5 ms/bounce; round-5
+            # profile "fusion.524 vs fusion.369").
+            shadow_o_b, _ = jax.lax.optimization_barrier((shadow_o, mat))
             att_pre = _shadow_attenuation_fused(
-                scene, shadow_o, dirs_all, act_all, colors_all, spec,
+                scene, shadow_o_b, dirs_all, act_all, colors_all, spec,
                 shadow_steps, dists_all, surf.pos, (surf.uv, surf.simple))
         elif part and blocked_all is not None and not scene.all_opaque:
             colors_all = ([scene.dir_color[li]

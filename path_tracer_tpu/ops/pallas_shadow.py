@@ -113,11 +113,21 @@ def _shadow_launch(o_t, d_t, tmax, pd, sp_t, oaux, blk6, bid6, obw_t,
         out_specs=[vm()],
         out_shape=[jax.ShapeDtypeStruct((3 * len(is_pt), r), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=72 * 1024 * 1024),
         interpret=interpret,
     )(o_t, d_t, tmax, pd, sp_t, oaux, blk6, bid6, obw_t, tbw, grp, rows,
       tex, lut)
     return out
+
+
+# Max lanes per fused-kernel launch. The kernel keeps EVERY per-lane row
+# VMEM-resident ((11 + 8L) rows x 4 B/lane: ~109 MB for L=3 at 2^19 lanes),
+# and XLA's memory-space-assignment needs headroom to keep the SHADING
+# gather tables (tex_wide ~17 MB, sl_attr) VMEM-prefetched across the
+# bounce loop — a >100 MB scoped reservation measured the wide-texel
+# gather 7.3 -> 16.6 ms/bounce (round-5 profile). 2^18-lane chunks keep
+# the reservation ~60 MB; the extra launch per bounce is noise.
+FUSED_CHUNK = int(os.environ.get("PT_FUSED_SHADOW_CHUNK", str(1 << 18)))
 
 
 def _pad_to(x, r_pad, fill):
@@ -146,7 +156,9 @@ def fused_shadow(scene, s_o, dirs, t_maxes, pds, is_pt, surf_pos, orig_uv,
 
     sg = jax.lax.stop_gradient  # no AD rules inside Pallas: detach
     r = s_o.shape[0]
-    rp = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
+    chunk = max(RAY_TILE, min(FUSED_CHUNK, ((r + RAY_TILE - 1) // RAY_TILE)
+                              * RAY_TILE))
+    rp = ((r + chunk - 1) // chunk) * chunk
     L = len(dirs)
     ov = opaque_view(scene)
 
@@ -160,14 +172,22 @@ def fused_shadow(scene, s_o, dirs, t_maxes, pds, is_pt, surf_pos, orig_uv,
         _pad_to(jnp.where(orig_simple, 1.0, 0.0)[None, :], rp, 0.0),
     ], axis=0)
     rows = twk._tables(scene, live)
-    out = _shadow_launch(
-        o_t, d_t, tmax, pd, sp_t, oaux,
-        ov.sl_blkflat, ov.sl_blkid, scene.sl_bw_t,
-        scene.tr_bw, scene.tr_grp, rows, twk._tex_plane(scene, live),
-        scene.tr_lut, ov.sl_blkflat.shape[1], scene.sl_block,
-        twk._kernel_pages(scene), live and scene.tr_textured, steps_cap,
-        scene.tr_textured, os.environ.get("PT_TRWALK_GROUPS") == "1",
-        tuple(bool(b) for b in is_pt), interpret=interpret)
+    tex = twk._tex_plane(scene, live)
+    statics = dict(
+        bpad=ov.sl_blkflat.shape[1], block=scene.sl_block,
+        pages=twk._kernel_pages(scene), live=live and scene.tr_textured,
+        steps_cap=steps_cap, textured=scene.tr_textured,
+        groups=os.environ.get("PT_TRWALK_GROUPS") == "1",
+        is_pt=tuple(bool(b) for b in is_pt), interpret=interpret)
+    outs = []
+    for c0 in range(0, rp, chunk):
+        sl = slice(c0, c0 + chunk)
+        outs.append(_shadow_launch(
+            o_t[:, sl], d_t[:, sl], tmax[:, sl], pd[:, sl], sp_t[:, sl],
+            oaux[:, sl], ov.sl_blkflat, ov.sl_blkid, scene.sl_bw_t,
+            scene.tr_bw, scene.tr_grp, rows, tex, scene.tr_lut,
+            **statics))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     out = out[:, :r]
     trans_eff = out[0::3]
     t_prev = out[1::3]

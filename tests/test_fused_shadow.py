@@ -31,12 +31,11 @@ def _render(s, spec, monkeypatch, fused: bool, W=48, H=32):
     ids = jnp.arange(W * H, dtype=jnp.int32)
     monkeypatch.setenv("PT_TRWALK_INTERPRET", "1")
     if fused:
+        monkeypatch.setenv("PT_FUSED_SHADOW", "1")  # opt-in (see gate doc)
         assert I._use_fused_shadow(s, spec)
-    else:
-        monkeypatch.setenv("PT_NO_FUSED_SHADOW", "1")
     out = np.asarray(render_wavefront(s, ids, W, H, jnp.int32(1), spec))
     monkeypatch.delenv("PT_TRWALK_INTERPRET")
-    monkeypatch.delenv("PT_NO_FUSED_SHADOW", raising=False)
+    monkeypatch.delenv("PT_FUSED_SHADOW", raising=False)
     return out
 
 

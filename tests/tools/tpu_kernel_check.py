@@ -319,14 +319,15 @@ def main() -> int:
         # difference is XLA-glue fusion only (1-ulp class).
         from path_tracer_tpu.models.integrator import _use_fused_shadow
 
+        _os.environ["PT_FUSED_SHADOW"] = "1"  # opt-in (see gate doc)
         if _use_fused_shadow(tex_scene, wspec):
-            _os.environ["PT_NO_FUSED_SHADOW"] = "1"
             c = render_tex()
-            del _os.environ["PT_NO_FUSED_SHADOW"]
+            del _os.environ["PT_FUSED_SHADOW"]
             dmax2 = float(np.abs(a - c).max())
             check("fused shadow kernel vs two-launch (compiled render)",
                   dmax2 <= 1e-5, f"max|d|={dmax2:.2e}")
         else:
+            del _os.environ["PT_FUSED_SHADOW"]
             check("fused shadow kernel vs two-launch (compiled render)",
                   False, "_use_fused_shadow unexpectedly False")
     else:
