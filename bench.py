@@ -152,7 +152,24 @@ def main() -> None:
         timed_samples = 128
         n_slices = 1
 
-    sync(run(WARMUP_SAMPLES, 1))  # compile + drain warmup work
+    # Fused-sphere flat kernel (ops/pallas_bvh, PT_SPH_FUSE): measured
+    # +2.6% on the textured showcase (3.87 -> 3.98 Mray/s, round-5). The
+    # whole-program compile of SOME shapes with the fused kernel has
+    # crashed the TPU compile helper without diagnostics (PERF.md), so
+    # the bench enables it with a FALLBACK: if the warmup compile dies,
+    # drop the knob and recompile the stock path.
+    if "PT_SPH_FUSE" not in os.environ and "PT_NO_SPH_FUSE" not in os.environ:
+        os.environ["PT_SPH_FUSE"] = "1"
+        try:
+            sync(run(WARMUP_SAMPLES, 1))  # compile + drain warmup work
+        except Exception as e:  # compile-helper crash: stock path
+            print(f"[bench] PT_SPH_FUSE compile failed ({str(e)[:80]}); "
+                  f"falling back", file=sys.stderr, flush=True)
+            del os.environ["PT_SPH_FUSE"]
+            jax.clear_caches()
+            sync(run(WARMUP_SAMPLES, 1))
+    else:
+        sync(run(WARMUP_SAMPLES, 1))  # compile + drain warmup work
     slice_rates = []
     sample = 1 + WARMUP_SAMPLES
     rays_per_slice = n_pix * timed_samples * (BOUNCES + 1)

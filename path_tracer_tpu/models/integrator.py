@@ -300,6 +300,19 @@ def _surface(scene, hit: HitRecord, o, d, row=None,
                    model=model, simple=simple)
 
 
+def _defer_prim(scene) -> bool:
+    """True when the integrator's casts may skip the sl_map packed->global
+    prim-id gather (ops.intersect.closest_hit defer_prim): TPU BVH-kernel
+    paths shade through the wide sl_attr rows (hit.packed), and the global
+    triangle id is never consumed — sphere lanes carry their own index.
+    The CPU BVH walk still needs prim (its sl_inv mapping), so CPU keeps
+    the gather."""
+    from path_tracer_tpu.ops.intersect import _on_tpu
+
+    return bool(getattr(scene, "use_bvh", False)
+                and scene.num_real_triangles and _on_tpu())
+
+
 def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
                 steps: int):
     """Stochastic alpha-transparency hit walk (ref mod.rs:188-205).
@@ -325,7 +338,8 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
     if steps == 1 and scene.all_opaque:
         t_prev = jnp.full((r,), -1.0, jnp.float32)
         hit = closest_hit(o, d, t_prev, scene, block=spec.tri_block,
-                          active=walking if scene.use_bvh else None)
+                          active=walking if scene.use_bvh else None,
+                          defer_prim=_defer_prim(scene))
         found = walking & hit.valid
         sel = HitRecord(*[jnp.where(found, h, s) for h, s in zip(hit, sel0)])
         sel = jax.lax.stop_gradient(sel)
@@ -344,7 +358,8 @@ def _alpha_walk(scene, o, d, walking, pixel_ids, sample_id, bounce, spec,
     def step(carry):
         k, sel, seen_any, t_prev, active = carry
         hit = closest_hit(o, d, t_prev, scene, block=spec.tri_block,
-                          active=active if scene.use_bvh else None)
+                          active=active if scene.use_bvh else None,
+                          defer_prim=_defer_prim(scene))
         found = active & hit.valid
         # Opacity of this candidate hit at its own UV/type.
         walk_row = _tri_attr(scene, hit)
@@ -654,7 +669,8 @@ def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
     t_neg = jnp.full((r,), -1.0, jnp.float32)
     hit_op = jax.lax.stop_gradient(
         closest_hit(o, d, t_neg, ov, block=spec.tri_block,
-                    active=walking if scene.use_bvh else None))
+                    active=walking if scene.use_bvh else None,
+                    defer_prim=_defer_prim(scene)))
     t_op = jnp.where(hit_op.valid, hit_op.t, jnp.inf)
     # Lanes whose segment (up to the opaque terminator) cannot touch any
     # transparent cluster skip the walk entirely (whole chunks go idle).
@@ -674,7 +690,8 @@ def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
             k, sel, seen, accepted, t_prev, active = carry
             hit = closest_hit(o, d, t_prev, tv, block=spec.tri_block,
                               active=active if scene.use_bvh else None,
-                              include_spheres=False)
+                              include_spheres=False,
+                              defer_prim=_defer_prim(scene))
             found = active & hit.valid & (hit.t < t_op)
             walk_row = _tri_attr(scene, hit)
             model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
@@ -732,12 +749,17 @@ def _alpha_walk_partitioned(scene, o, d, walking, pixel_ids, sample_id,
          still, t_prev) = jax.lax.stop_gradient(jax.lax.cond(
             jnp.any(walk_active), run_kernel, no_hits,
             o, d, t_op_enc, pixel_ids, sample_id, bounce))
-        prim = scene.sl_map[jnp.maximum(sel_packed, 0)]
+        if _defer_prim(scene):
+            prim = jnp.full_like(sel_packed, -1)  # see closest_hit docs
+        else:
+            prim = jnp.where(
+                sel_packed >= 0,
+                scene.sl_map[jnp.maximum(sel_packed, 0)], 0)
         sel = HitRecord(
             t=sel_t,
             kind=jnp.where(sel_packed >= 0, KIND_TRIANGLE, 0).astype(
                 jnp.int32),
-            prim=jnp.where(sel_packed >= 0, prim, 0),
+            prim=prim,
             u=sel_u, v=sel_v, backface=sel_bf, packed=sel_packed)
         if kcap < steps:
             # Residual gated by lax.cond: the while_loop's first-iteration
@@ -947,7 +969,8 @@ def _shadow_attenuation(scene, s_o, s_d, active, light_color, spec, steps,
             hit = closest_hit(s_o, s_d, t_prev, cast_scene,
                               block=spec.tri_block,
                               active=walking if scene.use_bvh else None,
-                              include_spheres=include_spheres)
+                              include_spheres=include_spheres,
+                              defer_prim=_defer_prim(scene))
             found = walking & hit.valid
             walk_row = _tri_attr(scene, hit)
             model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
@@ -1226,7 +1249,8 @@ def _shadow_attenuation_fused(scene, s_o, dirs, actives, colors, spec,
                 k, trans, t_p, walking = carry
                 hit = closest_hit(o3, d3, t_p, tv, block=spec.tri_block,
                                   active=walking if scene.use_bvh else None,
-                                  include_spheres=False)
+                                  include_spheres=False,
+                                  defer_prim=_defer_prim(scene))
                 found = walking & hit.valid
                 walk_row = _tri_attr(scene, hit)
                 model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)
@@ -1331,7 +1355,8 @@ def _shadow_attenuation_multi(scene, s_o, dirs, actives, colors, spec, steps,
             k, trans, t_prev, walking = carry
             hit = closest_hit(s_o, s_d, t_prev, tv, block=spec.tri_block,
                               active=walking if scene.use_bvh else None,
-                              include_spheres=False)
+                              include_spheres=False,
+                              defer_prim=_defer_prim(scene))
             found = walking & hit.valid
             walk_row = _tri_attr(scene, hit)
             model, uv, simple = _hit_model_uv(scene, hit, row=walk_row)

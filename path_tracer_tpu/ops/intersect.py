@@ -467,7 +467,8 @@ def _use_flat_walk(scene) -> bool:
 
 
 def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
-                               active=None) -> HitRecord:
+                               active=None,
+                               defer_prim: bool = False) -> HitRecord:
     """Pick the triangle closest-hit implementation: Pallas on TPU (packet
     BVH when scene.use_bvh, else fused brute force), jnp elsewhere.
 
@@ -500,9 +501,10 @@ def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
                     keys = keys | jnp.where(active, jnp.uint32(0),
                                             jnp.uint32(1) << 31)
                 perm, inv = sort_permutation(keys)
-                hit = walk(o[perm], d[perm], t_prev[perm], scene)
+                hit = walk(o[perm], d[perm], t_prev[perm], scene,
+                           defer_prim=defer_prim)
                 return HitRecord(*[f[inv] for f in hit])
-            return walk(o, d, t_prev, scene)
+            return walk(o, d, t_prev, scene, defer_prim=defer_prim)
         from path_tracer_tpu.ops.pallas_intersect import closest_hit_triangles_pallas
 
         return closest_hit_triangles_pallas(o, d, t_prev, scene)
@@ -514,7 +516,8 @@ def _closest_hit_tris_dispatch(o, d, t_prev, scene, block: int,
 
 
 def closest_hit(o, d, t_prev, scene, block: int = 512,
-                active=None, include_spheres: bool = True) -> HitRecord:
+                active=None, include_spheres: bool = True,
+                defer_prim: bool = False) -> HitRecord:
     """Closest hit among all primitives with t > t_prev (pass t_prev=-1.0 for
     a fresh cast: triangles still enforce t > 1e-6; spheres allow t >= 0,
     matching the reference's per-type cutoffs). Primitive classes the scene
@@ -528,11 +531,39 @@ def closest_hit(o, d, t_prev, scene, block: int = 512,
     if active is not None:
         # Dead lanes can never satisfy t > +inf in any primitive test.
         t_prev = jnp.where(active, t_prev, jnp.inf)
+    import os as _os
+
+    if (has_tris and has_sphs and _on_tpu()
+            and _os.environ.get("PT_SPH_FUSE") == "1"
+            and getattr(scene, "use_bvh", False)
+            and not getattr(scene, "sph_use_blocks", False)
+            and getattr(scene, "sph_row_base", 0)
+            and _walk_variant(scene) == "flat" and not _device_sort()):
+        # Small-sphere scenes on the flat walk: the dense sphere pass runs
+        # INSIDE the flat kernel and the record merge happens in-kernel —
+        # one launch, no separate sphere kernel, no XLA merge (~6 ms per
+        # 2^19-lane bounce; round-5 profile: the standalone sphere launch
+        # cost 7.5 ms/bounce for 48 spheres, dominated by its own
+        # per-lane loads/stores). OPT-IN (PT_SPH_FUSE=1): inside the
+        # b5 bounce-scan program at 2^19 lanes the whole-program compile
+        # crashes the TPU compile helper (exit 1, no diagnostic; the
+        # kernel alone compiles and validates at the same shapes, and
+        # b0 programs compile) — default off until the toolchain issue
+        # is understood (round-5 PERF.md).
+        from path_tracer_tpu.ops.pallas_bvh import closest_hit_triangles_flat
+
+        ko, kd, kt, kscene = _detach_for_kernel(o, d, t_prev, scene)
+        return closest_hit_triangles_flat(
+            ko, kd, kt, kscene,
+            defer_prim=defer_prim and getattr(scene, "use_bvh", False),
+            spheres=True)
     if not has_tris:
         tri = _miss_record(r)
     else:
-        tri = _closest_hit_tris_dispatch(o, d, t_prev, scene, block,
-                                         active=active)
+        tri = _closest_hit_tris_dispatch(
+            o, d, t_prev, scene, block, active=active,
+            defer_prim=defer_prim and _on_tpu()
+            and getattr(scene, "use_bvh", False))
     if not has_sphs:
         sph = _miss_record(r)
     elif _on_tpu():

@@ -40,8 +40,14 @@ from path_tracer_tpu.ops.intersect import (
 )
 
 # Rays per packet (lane dimension). Env-tunable for sweeps
-# (tests/tools/bounce_cast_sweep.py); 256 is the measured default.
-RAY_TILE = int(os.environ.get("PT_RAY_TILE", "256"))
+# (tests/tools/bounce_cast_sweep.py). Round-5 re-sweep: 128 beats the
+# round-2 optimum of 256 ACROSS the board now that the kernels dominate
+# the frame — divergent BOUNCE casts are the bulk of b5 traversal time
+# (44 ms/bounce avg vs 17 ms at b0, round-5 profile) and half-size
+# packets tighten each tile's visited-block union: textured showcase
+# 3.98 -> 4.53, plain 6.87 -> 8.41, spheres 30.0 -> 31.5 Mray/s e2e.
+# 64 fails to compile (Mosaic).
+RAY_TILE = int(os.environ.get("PT_RAY_TILE", "128"))
 
 # NOTE (round-4 negative): row-sub-chunked visits were probed and removed —
 # Mosaic cannot concatenate 1-D sub-vectors ("input offsets outside the
@@ -301,7 +307,8 @@ def _auto_stream(scene, stream):
 
 
 def closest_hit_triangles_packet(o, d, t_prev, scene,
-                                 stream=None, interpret=False) -> HitRecord:
+                                 stream=None, interpret=False,
+                                 defer_prim=False) -> HitRecord:
     """Superleaf packet-BVH closest hit (pads rays to RAY_TILE)."""
     r = o.shape[0]
     r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -323,11 +330,19 @@ def closest_hit_triangles_packet(o, d, t_prev, scene,
     bt = fout[0, :r]
     kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
     packed = iout[0, :r]
-    prim = scene.sl_map[jnp.maximum(packed, 0)]
+    if defer_prim:
+        # The caller shades via the wide sl_attr rows (addressed by
+        # ``packed``; the GLOBAL id rides row column 28 for free) — the
+        # [R]-lane sl_map gather is per-lane-latency-bound (~4 ms at 2^19
+        # lanes, round-5 profile) and its value would be unused.
+        prim = jnp.full_like(packed, -1)
+    else:
+        prim = jnp.where(packed >= 0,
+                         scene.sl_map[jnp.maximum(packed, 0)], -1)
     return HitRecord(
         t=bt,
         kind=kind,
-        prim=jnp.where(packed >= 0, prim, -1),
+        prim=prim,
         u=fout[1, :r],
         v=fout[2, :r],
         backface=fout[3, :r] != 0.0,
@@ -529,8 +544,16 @@ def _occ_launch(o_t, d_t, t_max, nodes6, meta6, tris_t, n_nodes, block,
 # ---------------------------------------------------------------------------
 
 
-def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref,
-                 fout_ref, iout_ref, *, bpad: int, block: int, n_tiles: int):
+def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref, sph_ref,
+                 fout_ref, iout_ref, *, bpad: int, block: int, n_tiles: int,
+                 n_sph: int, sph_row_base: int):
+    """Flat block-visit closest hit. ``n_sph`` > 0 appends a dense
+    analytic-sphere pass (the exact pallas_spheres._kernel chunk logic)
+    and merges in-kernel — small-sphere scenes then skip the separate
+    sphere launch AND the XLA record merge (~6 ms per 2^19-lane bounce,
+    round-5 profile). fout rows: t, u, v, backface, kind (0/1/2 = none/
+    triangle/sphere as f32); iout: packed slot (sphere lanes carry
+    sph_row_base + index)."""
     def tile_body(tile, _):
         base = tile * RAY_TILE
         ox = o_ref[0, pl.ds(base, RAY_TILE)]
@@ -724,43 +747,119 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref,
         )
         _, _, bt, bi, bu, bv, bb = jax.lax.while_loop(cond, body, init)
 
+        kind = jnp.where(jnp.isfinite(bt), 1.0, 0.0)
+        if n_sph:
+            # Dense analytic-sphere pass, chunk logic and root semantics
+            # identical to pallas_spheres._kernel (each root valid iff
+            # >= 0 and > t_prev; far root = inside hit -> backface).
+            chunk = min(512, n_sph) if n_sph % min(512, n_sph) == 0 \
+                else 128
+            aq = rc(dx * dx + dy * dy + dz * dz)
+            tpq = rc(t_prev)
+            lanes_s = jax.lax.broadcasted_iota(jnp.int32, (rt, chunk), 1)
+
+            def sph_body(k, carry):
+                btmin, bcol, bback = carry
+                start = pl.multiple_of(k * chunk, 128)
+                cx = sph_ref[0, pl.ds(start, chunk)][None, :]
+                cy = sph_ref[1, pl.ds(start, chunk)][None, :]
+                cz = sph_ref[2, pl.ds(start, chunk)][None, :]
+                rad = sph_ref[3, pl.ds(start, chunk)][None, :]
+                ocx = rc(ox) - cx
+                ocy = rc(oy) - cy
+                ocz = rc(oz) - cz
+                b2 = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
+                c2 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                disc = b2 * b2 - 4.0 * aq * c2
+                has = disc >= 0.0
+                sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+                inv2a = 1.0 / (2.0 * aq)
+                t1 = (-b2 - sq) * inv2a
+                t2 = (-b2 + sq) * inv2a
+                v1 = has & (t1 >= 0.0) & (t1 > tpq)
+                v2 = has & (t2 >= 0.0) & (t2 > tpq)
+                t_near = jnp.where(v1, t1, jnp.where(v2, t2, jnp.inf))
+                far_root = (~v1) & v2
+                tmin_s = jnp.min(t_near, axis=1)
+                is_min = t_near == tmin_s[:, None]
+                col = jnp.min(jnp.where(is_min, lanes_s,
+                                        jnp.int32(1 << 30)), axis=1)
+                sel_s = lanes_s == col[:, None]
+                back = jnp.max(jnp.where(sel_s & far_root, 1.0, 0.0),
+                               axis=1)
+                better = (tmin_s < btmin) | (k == 0)
+                return (jnp.where(better, tmin_s, btmin),
+                        jnp.where(better, start + col, bcol),
+                        jnp.where(better, back, bback))
+
+            sinit = (jnp.full((rt,), jnp.inf, jnp.float32),
+                     jnp.zeros((rt,), jnp.int32),
+                     jnp.zeros((rt,), jnp.float32))
+            st, scol, sback = jax.lax.fori_loop(0, n_sph // chunk,
+                                                sph_body, sinit)
+            # Merge: triangle wins ties (ops.intersect.closest_hit).
+            sph_wins = st < bt
+            kind = jnp.where(sph_wins, 2.0, kind)
+            bt = jnp.where(sph_wins, st, bt)
+            bu = jnp.where(sph_wins, 0.0, bu)
+            bv = jnp.where(sph_wins, 0.0, bv)
+            bb = jnp.where(sph_wins, sback, bb)
+            bi = jnp.where(sph_wins, sph_row_base + scol, bi)
+
         fout_ref[0, pl.ds(base, RAY_TILE)] = bt
         fout_ref[1, pl.ds(base, RAY_TILE)] = bu
         fout_ref[2, pl.ds(base, RAY_TILE)] = bv
         fout_ref[3, pl.ds(base, RAY_TILE)] = bb
+        if n_sph:
+            fout_ref[4, pl.ds(base, RAY_TILE)] = kind
         iout_ref[0, pl.ds(base, RAY_TILE)] = bi
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("bpad", "block", "interpret"))
-def _flat_launch(o_t, d_t, t_prev, blk6, bid6, bw_t, bpad, block,
-                 interpret=False):
+@functools.partial(jax.jit, static_argnames=("bpad", "block", "n_sph",
+                                             "sph_row_base", "interpret"))
+def _flat_launch(o_t, d_t, t_prev, blk6, bid6, bw_t, sph_t, bpad, block,
+                 n_sph=0, sph_row_base=0, interpret=False):
     r = o_t.shape[1]
     n_tiles = r // RAY_TILE
     kernel = functools.partial(_flat_kernel, bpad=bpad, block=block,
-                               n_tiles=n_tiles)
+                               n_tiles=n_tiles, n_sph=n_sph,
+                               sph_row_base=sph_row_base)
     vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     fout, iout = pl.pallas_call(
         kernel,
-        in_specs=[vm(), vm(), vm(), vm(), vm(), vm()],
+        in_specs=[vm()] * 7,
         out_specs=[vm(), vm()],
         out_shape=[
-            jax.ShapeDtypeStruct((4, r), jnp.float32),
+            # kind row only in fused-sphere mode: an unconditional 5-row
+            # output crashed the whole-program TPU compile in big bounce-
+            # scan programs (round-5; [4,R] compiles everywhere).
+            jax.ShapeDtypeStruct((5 if n_sph else 4, r), jnp.float32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(o_t, d_t, t_prev, blk6, bid6, bw_t)
+    )(o_t, d_t, t_prev, blk6, bid6, bw_t, sph_t)
     return fout, iout
 
 
 def closest_hit_triangles_flat(o, d, t_prev, scene,
-                               interpret=False) -> HitRecord:
-    """Flat block-visit closest hit (pads rays to RAY_TILE)."""
+                               interpret=False,
+                               defer_prim=False,
+                               spheres=False) -> HitRecord:
+    """Flat block-visit closest hit (pads rays to RAY_TILE).
+
+    ``spheres=True`` additionally runs the dense analytic-sphere pass
+    inside the same launch and returns the fully MERGED record (sphere
+    lanes: kind SPHERE, prim = sphere index, packed = sph_row_base +
+    index) — only valid for scenes with a dense sphere table
+    (not sph_use_blocks)."""
+    from path_tracer_tpu.ops.intersect import KIND_SPHERE
+
     r = o.shape[0]
     r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
 
@@ -774,17 +873,49 @@ def closest_hit_triangles_flat(o, d, t_prev, scene,
     d_t = pad(d, 1.0).T
     tp = pad(t_prev, jnp.inf)[None, :]  # padded lanes can never hit
 
+    n_sph = scene.sph_packed_t.shape[1] if spheres else 0
     fout, iout = _flat_launch(o_t, d_t, tp, scene.sl_blkflat, scene.sl_blkid,
-                              scene.sl_bw_t, scene.sl_blkflat.shape[1],
-                              scene.sl_block, interpret=interpret)
+                              scene.sl_bw_t, scene.sph_packed_t,
+                              scene.sl_blkflat.shape[1],
+                              scene.sl_block, n_sph=n_sph,
+                              sph_row_base=getattr(scene, "sph_row_base", 0)
+                              if spheres else 0,
+                              interpret=interpret)
     bt = fout[0, :r]
+    if spheres:
+        kf = fout[4, :r]
+        kind = jnp.where(kf == 2.0, KIND_SPHERE,
+                         jnp.where(kf == 1.0, KIND_TRIANGLE,
+                                   KIND_NONE)).astype(jnp.int32)
+        packed = iout[0, :r]
+        is_sph = kind == KIND_SPHERE
+        sph_prim = packed - getattr(scene, "sph_row_base", 0)
+        if defer_prim:
+            prim = jnp.where(is_sph, sph_prim, -1)
+        else:
+            prim = jnp.where(
+                is_sph, sph_prim,
+                jnp.where(packed >= 0,
+                          scene.sl_map[jnp.maximum(packed, 0)], -1))
+        return HitRecord(
+            t=bt, kind=kind, prim=prim,
+            u=fout[1, :r], v=fout[2, :r],
+            backface=fout[3, :r] != 0.0, packed=packed)
     kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
     packed = iout[0, :r]
-    prim = scene.sl_map[jnp.maximum(packed, 0)]
+    if defer_prim:
+        # The caller shades via the wide sl_attr rows (addressed by
+        # ``packed``; the GLOBAL id rides row column 28 for free) — the
+        # [R]-lane sl_map gather is per-lane-latency-bound (~4 ms at 2^19
+        # lanes, round-5 profile) and its value would be unused.
+        prim = jnp.full_like(packed, -1)
+    else:
+        prim = jnp.where(packed >= 0,
+                         scene.sl_map[jnp.maximum(packed, 0)], -1)
     return HitRecord(
         t=bt,
         kind=kind,
-        prim=jnp.where(packed >= 0, prim, -1),
+        prim=prim,
         u=fout[1, :r],
         v=fout[2, :r],
         backface=fout[3, :r] != 0.0,
@@ -1255,7 +1386,8 @@ def _flat2_launch(o_t, d_t, t_prev, sbflat, sbid, blk, bid, bw_t, sbpad,
 
 
 def closest_hit_triangles_flat2(o, d, t_prev, scene,
-                                interpret=False) -> HitRecord:
+                                interpret=False,
+                                defer_prim=False) -> HitRecord:
     """Two-level flat closest hit (pads rays to RAY_TILE)."""
     r = o.shape[0]
     r_pad = ((r + RAY_TILE - 1) // RAY_TILE) * RAY_TILE
@@ -1277,11 +1409,19 @@ def closest_hit_triangles_flat2(o, d, t_prev, scene,
     bt = fout[0, :r]
     kind = jnp.where(jnp.isfinite(bt), KIND_TRIANGLE, KIND_NONE).astype(jnp.int32)
     packed = iout[0, :r]
-    prim = scene.sl_map[jnp.maximum(packed, 0)]
+    if defer_prim:
+        # The caller shades via the wide sl_attr rows (addressed by
+        # ``packed``; the GLOBAL id rides row column 28 for free) — the
+        # [R]-lane sl_map gather is per-lane-latency-bound (~4 ms at 2^19
+        # lanes, round-5 profile) and its value would be unused.
+        prim = jnp.full_like(packed, -1)
+    else:
+        prim = jnp.where(packed >= 0,
+                         scene.sl_map[jnp.maximum(packed, 0)], -1)
     return HitRecord(
         t=bt,
         kind=kind,
-        prim=jnp.where(packed >= 0, prim, -1),
+        prim=prim,
         u=fout[1, :r],
         v=fout[2, :r],
         backface=fout[3, :r] != 0.0,

@@ -187,3 +187,53 @@ def test_flat2_matches_brute(head_scene):
                                            head_scene, interpret=True)
     np.testing.assert_array_equal(np.asarray(multi[0]), np.isfinite(t))
     assert not np.asarray(multi[1]).any()
+
+
+@pytest.fixture(scope="module")
+def tex_scene_small():
+    from path_tracer_tpu.scene.showcase import showcase_device_scene
+
+    return showcase_device_scene(grid=48, textured=False)
+
+
+def test_flat_fused_spheres_matches_merge(tex_scene_small):
+    """The in-kernel sphere epilogue (spheres=True) must reproduce the
+    separate sphere kernel + XLA record merge exactly (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.ops.intersect import KIND_SPHERE, KIND_TRIANGLE
+    from path_tracer_tpu.ops.pallas_bvh import closest_hit_triangles_flat
+    from path_tracer_tpu.ops.pallas_spheres import closest_hit_spheres_pallas
+
+    s = tex_scene_small
+    rng = np.random.default_rng(4)
+    r = 1024
+    lo = np.asarray(s.tri_v0[: s.num_real_triangles]).min(axis=0)
+    hi = np.asarray(s.tri_v0[: s.num_real_triangles]).max(axis=0)
+    o = jnp.asarray(rng.uniform(lo - 4, hi + 4, (r, 3)).astype(np.float32))
+    tgt = rng.uniform(lo, hi, (r, 3)).astype(np.float32)
+    d = tgt - np.asarray(o)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+    tp = jnp.full((r,), -1.0, jnp.float32)
+
+    fused = closest_hit_triangles_flat(o, d, tp, s, interpret=True,
+                                       spheres=True)
+    tri = closest_hit_triangles_flat(o, d, tp, s, interpret=True)
+    sph = closest_hit_spheres_pallas(o, d, tp, s, interpret=True)
+    sph = sph._replace(packed=jnp.where(
+        sph.kind == KIND_SPHERE, s.sph_row_base + jnp.maximum(sph.prim, 0),
+        sph.packed))
+    tri_wins = tri.t <= sph.t
+    pick = lambda a, b: np.asarray(jnp.where(tri_wins, a, b))
+    assert (np.asarray(fused.kind) == pick(tri.kind, sph.kind)).all()
+    np.testing.assert_array_equal(np.asarray(fused.t), pick(tri.t, sph.t))
+    np.testing.assert_array_equal(np.asarray(fused.packed),
+                                  pick(tri.packed, sph.packed))
+    np.testing.assert_array_equal(np.asarray(fused.prim),
+                                  pick(tri.prim, sph.prim))
+    np.testing.assert_array_equal(np.asarray(fused.backface),
+                                  pick(tri.backface, sph.backface))
+    assert int((np.asarray(fused.kind) == KIND_SPHERE).sum()) > 0
+    assert int((np.asarray(fused.kind) == KIND_TRIANGLE).sum()) > 0
