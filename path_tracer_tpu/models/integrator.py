@@ -1499,7 +1499,7 @@ def _shadow_attenuation_multi(scene, s_o, dirs, actives, colors, spec, steps,
 
 def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
                      spec: IntegratorSpec, rays=None, exchange=None,
-                     lane_ids=None):
+                     lane_ids=None, collect_live_counts: bool = False):
     """Trace one sample for a wavefront of pixels. Returns radiance [R,3].
 
     pixel_ids: [R] int32 (y*width+x). rays optionally overrides camera ray
@@ -1565,6 +1565,11 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
         else:
             o, d, color, throughput, alive = carry
             pix = pixel_ids
+        # Per-bounce live-lane count BEFORE this bounce's casts — the
+        # quantity cross-shard rebalancing equalizes (SCALING_r05 imbalance
+        # histograms; VERDICT r4 next #6).
+        live_in = jnp.sum(alive.astype(jnp.int32)) if collect_live_counts \
+            else None
         sel, seen_any, first_missed = _alpha_walk(
             scene, o, d, alive, pix, sample_id, bounce, spec, alpha_steps
         )
@@ -1758,22 +1763,24 @@ def render_wavefront(scene, pixel_ids, width: int, height: int, sample_id,
         alive = alive & ~(rr & (rnd > p))
 
         if track_origin:
-            return (o, d, color, throughput, alive, pix, orig), None
-        return (o, d, color, throughput, alive), None
+            return (o, d, color, throughput, alive, pix, orig), live_in
+        return (o, d, color, throughput, alive), live_in
 
     body = jax.checkpoint(bounce_body) if remat_bounces else bounce_body
     if track_origin:
         orig0 = (lane_ids if lane_ids is not None
                  else jnp.arange(r, dtype=jnp.int32))
         init = (o, d, color, throughput, alive, pixel_ids, orig0)
-        (_, _, color, _, _, _, orig), _ = jax.lax.scan(
+        (_, _, color, _, _, _, orig), live = jax.lax.scan(
             body, init, jnp.arange(spec.bounces + 1, dtype=jnp.int32)
         )
         if exchange is not None:
-            return color, orig  # caller inverts the (cross-shard) placement
-        return jnp.zeros_like(color).at[orig].set(color)
+            out = (color, orig)  # caller inverts the placement
+        else:
+            out = jnp.zeros_like(color).at[orig].set(color)
+        return (out, live) if collect_live_counts else out
     init = (o, d, color, throughput, alive)
-    (o, d, color, throughput, alive), _ = jax.lax.scan(
+    (o, d, color, throughput, alive), live = jax.lax.scan(
         body, init, jnp.arange(spec.bounces + 1, dtype=jnp.int32)
     )
-    return color
+    return (color, live) if collect_live_counts else color

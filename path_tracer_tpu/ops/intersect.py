@@ -374,7 +374,24 @@ def occluded_multi(o, dirs, scene, surf_pos=None, max_dists=None,
                 if _walk_variant(scene) == "flat"
                 else occluded_triangles_flat2_multi)
     ko, kdirs, kt, kscene = _detach_for_kernel(o, dirs, t_maxes, scene)
-    tri_occ = multi_fn(ko, kdirs, kt, kscene)
+    import os as _os
+
+    if (_os.environ.get("PT_OCC_INTERLEAVE") == "1"
+            and _walk_variant(scene) == "flat"):
+        # Experimental: interleave the L light sets lane-wise (lane =
+        # ray*L + light) so each kernel tile covers RAY_TILE/L rays x ALL
+        # lights and the block walk is shared across lights.
+        from path_tracer_tpu.ops.pallas_bvh import occluded_triangles_flat
+
+        d_il = jnp.stack(kdirs, axis=1).reshape(n_lights * r, 3)
+        o_il = jnp.broadcast_to(
+            ko[:, None, :], (r, n_lights, 3)).reshape(n_lights * r, 3)
+        tm_il = jnp.stack(kt, axis=1).reshape(n_lights * r)
+        occ_il = occluded_triangles_flat(o_il, d_il, tm_il, kscene)
+        occ2 = occ_il.reshape(r, n_lights)
+        tri_occ = [occ2[:, i] for i in range(n_lights)]
+    else:
+        tri_occ = multi_fn(ko, kdirs, kt, kscene)
 
     outs = []
     for i in range(n_lights):

@@ -58,7 +58,9 @@ RAY_TILE = int(os.environ.get("PT_RAY_TILE", "128"))
 # closest-hit kernel: halves the per-iteration serial overhead (scalar
 # next-block extraction + loop-condition sync) at the cost of one guarded
 # lax.cond per pair. A/B knob (tests/tools/bounce_cast_sweep.py).
-FLAT_PAIR = os.environ.get("PT_FLAT_PAIR", "1") == "1"
+# Round-5: at RAY_TILE=128 the pair's cond overhead LOSES (textured
+# showcase 4.53 -> 4.61 Mray/s with pairing off) — default flipped.
+FLAT_PAIR = os.environ.get("PT_FLAT_PAIR", "0") == "1"
 
 # Post-argmin winner extraction via ONE HIGHEST-precision MXU matmul of the
 # visited block's 12 BW rows at the winning column (exact for one-hot
@@ -565,246 +567,263 @@ def _flat_kernel(o_ref, d_ref, tp_ref, blk_ref, bid_ref, bw_ref, sph_ref,
         t_prev = tp_ref[0, pl.ds(base, RAY_TILE)]
         rt = RAY_TILE
 
-        # Zero components get a huge FINITE reciprocal: the naive 1/d gives
-        # inf, and (bound - o) * inf = NaN when the origin sits exactly on a
-        # block bound plane, which poisons tn/tf and silently DROPS the
-        # block (false miss / shadow leak for axis-aligned rays on
-        # round-number geometry). With 1e30, 0 * 1e30 = 0 keeps the correct
-        # on-boundary semantics.
-        inv_dx = jnp.where(dx == 0.0, 1e30, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
-        inv_dy = jnp.where(dy == 0.0, 1e30, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
-        inv_dz = jnp.where(dz == 0.0, 1e30, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
+        def dead_tile():
+            # Whole-tile dead skip (every lane t_prev = +inf, the
+            # dead-lane marker): skip the slab + walk (+ sphere
+            # pass); outputs equal the walk's all-miss result.
+            return (jnp.full((rt,), jnp.inf, jnp.float32),
+                    jnp.full((rt,), -1, jnp.int32),
+                    jnp.zeros((rt,), jnp.float32),
+                    jnp.zeros((rt,), jnp.float32),
+                    jnp.zeros((rt,), jnp.float32),
+                    jnp.zeros((rt,), jnp.float32))
 
-        bmn0 = blk_ref[0, :][None, :]  # [1,B]
-        bmn1 = blk_ref[1, :][None, :]
-        bmn2 = blk_ref[2, :][None, :]
-        bmx0 = blk_ref[3, :][None, :]
-        bmx1 = blk_ref[4, :][None, :]
-        bmx2 = blk_ref[5, :][None, :]
-        bids = bid_ref[0, :][None, :]  # [1,B] i32
+        def live_tile():
+            # Zero components get a huge FINITE reciprocal: the naive 1/d gives
+            # inf, and (bound - o) * inf = NaN when the origin sits exactly on a
+            # block bound plane, which poisons tn/tf and silently DROPS the
+            # block (false miss / shadow leak for axis-aligned rays on
+            # round-number geometry). With 1e30, 0 * 1e30 = 0 keeps the correct
+            # on-boundary semantics.
+            inv_dx = jnp.where(dx == 0.0, 1e30, 1.0 / jnp.where(dx == 0.0, 1.0, dx))
+            inv_dy = jnp.where(dy == 0.0, 1e30, 1.0 / jnp.where(dy == 0.0, 1.0, dy))
+            inv_dz = jnp.where(dz == 0.0, 1e30, 1.0 / jnp.where(dz == 0.0, 1.0, dz))
 
-        def rc(a):  # ray column [RT,1]
-            return a[:, None]
+            bmn0 = blk_ref[0, :][None, :]  # [1,B]
+            bmn1 = blk_ref[1, :][None, :]
+            bmn2 = blk_ref[2, :][None, :]
+            bmx0 = blk_ref[3, :][None, :]
+            bmx1 = blk_ref[4, :][None, :]
+            bmx2 = blk_ref[5, :][None, :]
+            bids = bid_ref[0, :][None, :]  # [1,B] i32
 
-        # Slab test: all rays x all blocks in one shot.
-        t0x = (bmn0 - rc(ox)) * rc(inv_dx)
-        t1x = (bmx0 - rc(ox)) * rc(inv_dx)
-        t0y = (bmn1 - rc(oy)) * rc(inv_dy)
-        t1y = (bmx1 - rc(oy)) * rc(inv_dy)
-        t0z = (bmn2 - rc(oz)) * rc(inv_dz)
-        t1z = (bmx2 - rc(oz)) * rc(inv_dz)
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z))  # [RT,B]
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z))
-        # bids < 0 marks pad columns (their zero bounds would otherwise slab-
-        # pass for rays crossing the origin; inverted-inf bounds ALSO pass —
-        # min/max reorders the infinities — so masking by id is the only
-        # reliable pad exclusion).
-        hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0))
-                         & (tf > rc(t_prev)) & (bids >= 0), 1.0, 0.0)  # [RT,B]
-        # Per-tile front-to-back priority: each block's minimum slab entry
-        # over the tile's rays. Visiting in THIS order (not the global
-        # centroid order) tightens best-t fastest, so later blocks prune.
-        # PT_VISIT_ORDER=mean scores blocks by the MEAN entry over hitting
-        # lanes instead — min is optimistic on direction-divergent bounce
-        # tiles (one early ray promotes a block most lanes reach late).
-        # Order is a pure perf heuristic: results are order-invariant.
-        if VISIT_ORDER_MEAN:
-            cnt = jnp.sum(hit0, axis=0, keepdims=True)
-            tn_min = jnp.where(
-                cnt > 0.0,
-                jnp.sum(jnp.where(hit0 > 0.0, tn, 0.0), axis=0,
-                        keepdims=True) / jnp.maximum(cnt, 1.0),
-                jnp.inf)  # [1,B]
-        else:
-            tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
-                             keepdims=True)  # [1,B]
-
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
-
-        def visit_chunk(oxc, oyc, ozc, dxc, dyc, dzc, tpc, bw, nrows):
-            """Dense [nrows, block] Baldwin-Weber over one chunk of rays:
-            plane-test t = (c - o.n)/(d.n), then u/v as affine maps of the
-            hit point (~20% fewer VPU ops than recomputing the MT cross
-            products; d.n = -MT det so DET_EPS/backface semantics hold)."""
-            def cc(a):  # ray column [nrows,1]
+            def rc(a):  # ray column [RT,1]
                 return a[:, None]
 
-            def tr(c):  # triangle row [1,B]
-                return bw[c, :][None, :]
+            # Slab test: all rays x all blocks in one shot.
+            t0x = (bmn0 - rc(ox)) * rc(inv_dx)
+            t1x = (bmx0 - rc(ox)) * rc(inv_dx)
+            t0y = (bmn1 - rc(oy)) * rc(inv_dy)
+            t1y = (bmx1 - rc(oy)) * rc(inv_dy)
+            t0z = (bmn2 - rc(oz)) * rc(inv_dz)
+            t1z = (bmx2 - rc(oz)) * rc(inv_dz)
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z))  # [RT,B]
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z))
+            # bids < 0 marks pad columns (their zero bounds would otherwise slab-
+            # pass for rays crossing the origin; inverted-inf bounds ALSO pass —
+            # min/max reorders the infinities — so masking by id is the only
+            # reliable pad exclusion).
+            hit0 = jnp.where((tf >= jnp.maximum(tn, 0.0))
+                             & (tf > rc(t_prev)) & (bids >= 0), 1.0, 0.0)  # [RT,B]
+            # Per-tile front-to-back priority: each block's minimum slab entry
+            # over the tile's rays. Visiting in THIS order (not the global
+            # centroid order) tightens best-t fastest, so later blocks prune.
+            # PT_VISIT_ORDER=mean scores blocks by the MEAN entry over hitting
+            # lanes instead — min is optimistic on direction-divergent bounce
+            # tiles (one early ray promotes a block most lanes reach late).
+            # Order is a pure perf heuristic: results are order-invariant.
+            if VISIT_ORDER_MEAN:
+                cnt = jnp.sum(hit0, axis=0, keepdims=True)
+                tn_min = jnp.where(
+                    cnt > 0.0,
+                    jnp.sum(jnp.where(hit0 > 0.0, tn, 0.0), axis=0,
+                            keepdims=True) / jnp.maximum(cnt, 1.0),
+                    jnp.inf)  # [1,B]
+            else:
+                tn_min = jnp.min(jnp.where(hit0 > 0.0, tn, jnp.inf), axis=0,
+                                 keepdims=True)  # [1,B]
 
-            dn = cc(dxc) * tr(0) + cc(dyc) * tr(1) + cc(dzc) * tr(2)
-            ok = jnp.abs(dn) >= DET_EPS
-            invdn = 1.0 / jnp.where(ok, dn, 1.0)
-            on = cc(oxc) * tr(0) + cc(oyc) * tr(1) + cc(ozc) * tr(2)
-            t = (tr(3) - on) * invdn
-            ok &= (t >= T_MIN) & (t > cc(tpc))
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, bpad), 1)
 
-            hx = cc(oxc) + t * cc(dxc)
-            hy = cc(oyc) + t * cc(dyc)
-            hz = cc(ozc) + t * cc(dzc)
-            u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
-            ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
-            v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
-            ok &= (v >= 0.0) & (u + v <= 1.0)
+            def visit_chunk(oxc, oyc, ozc, dxc, dyc, dzc, tpc, bw, nrows):
+                """Dense [nrows, block] Baldwin-Weber over one chunk of rays:
+                plane-test t = (c - o.n)/(d.n), then u/v as affine maps of the
+                hit point (~20% fewer VPU ops than recomputing the MT cross
+                products; d.n = -MT det so DET_EPS/backface semantics hold)."""
+                def cc(a):  # ray column [nrows,1]
+                    return a[:, None]
 
-            t = jnp.where(ok, t, jnp.inf)
-            tmin = jnp.min(t, axis=1)  # [nrows]
-            col = jnp.argmin(t, axis=1).astype(jnp.int32)
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (nrows, block), 1)
-            sel = lanes == col[:, None]
+                def tr(c):  # triangle row [1,B]
+                    return bw[c, :][None, :]
 
-            if FLAT_MXUPICK:
-                # One-hot MXU pick of the 12 BW rows at col (exact at
-                # HIGHEST precision), then per-lane recompute of u/v/dn —
-                # replaces three masked [nrows, block] reductions. Miss
-                # lanes (tmin = inf) produce garbage; callers mask by
-                # `better = tmin < bt`.
-                p = jax.lax.dot_general(
-                    sel.astype(jnp.float32), bw[0:12, :],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # [nrows, 12]
-                ts = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
-                hxs = oxc + ts * dxc
-                hys = oyc + ts * dyc
-                hzs = ozc + ts * dzc
-                us = hxs * p[:, 4] + hys * p[:, 5] + hzs * p[:, 6] + p[:, 7]
-                vs = (hxs * p[:, 8] + hys * p[:, 9] + hzs * p[:, 10]
-                      + p[:, 11])
-                dns = dxc * p[:, 0] + dyc * p[:, 1] + dzc * p[:, 2]
-                return tmin, col, us, vs, dns
+                dn = cc(dxc) * tr(0) + cc(dyc) * tr(1) + cc(dzc) * tr(2)
+                ok = jnp.abs(dn) >= DET_EPS
+                invdn = 1.0 / jnp.where(ok, dn, 1.0)
+                on = cc(oxc) * tr(0) + cc(oyc) * tr(1) + cc(ozc) * tr(2)
+                t = (tr(3) - on) * invdn
+                ok &= (t >= T_MIN) & (t > cc(tpc))
 
-            def pick(arr2d):
-                return jnp.sum(jnp.where(sel, arr2d, 0.0), axis=1)
+                hx = cc(oxc) + t * cc(dxc)
+                hy = cc(oyc) + t * cc(dyc)
+                hz = cc(ozc) + t * cc(dzc)
+                u = hx * tr(4) + hy * tr(5) + hz * tr(6) + tr(7)
+                ok &= (u >= 0.0)  # u <= 1 is implied by v >= 0 & u+v <= 1 (f32-safe)
+                v = hx * tr(8) + hy * tr(9) + hz * tr(10) + tr(11)
+                ok &= (v >= 0.0) & (u + v <= 1.0)
 
-            return tmin, col, pick(u), pick(v), pick(dn)
+                t = jnp.where(ok, t, jnp.inf)
+                tmin = jnp.min(t, axis=1)  # [nrows]
+                col = jnp.argmin(t, axis=1).astype(jnp.int32)
+                lanes = jax.lax.broadcasted_iota(jnp.int32, (nrows, block), 1)
+                sel = lanes == col[:, None]
 
-        def visit_block(block_id, best):
-            """Dense [RT, block] Baldwin-Weber visit of one block."""
-            bt, bi, bu, bv, bb = best
-            start = pl.multiple_of(block_id * block, 128)
-            bw = bw_ref[:, pl.ds(start, block)]  # [12, B]
+                if FLAT_MXUPICK:
+                    # One-hot MXU pick of the 12 BW rows at col (exact at
+                    # HIGHEST precision), then per-lane recompute of u/v/dn —
+                    # replaces three masked [nrows, block] reductions. Miss
+                    # lanes (tmin = inf) produce garbage; callers mask by
+                    # `better = tmin < bt`.
+                    p = jax.lax.dot_general(
+                        sel.astype(jnp.float32), bw[0:12, :],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [nrows, 12]
+                    ts = jnp.where(jnp.isfinite(tmin), tmin, 0.0)
+                    hxs = oxc + ts * dxc
+                    hys = oyc + ts * dyc
+                    hzs = ozc + ts * dzc
+                    us = hxs * p[:, 4] + hys * p[:, 5] + hzs * p[:, 6] + p[:, 7]
+                    vs = (hxs * p[:, 8] + hys * p[:, 9] + hzs * p[:, 10]
+                          + p[:, 11])
+                    dns = dxc * p[:, 0] + dyc * p[:, 1] + dzc * p[:, 2]
+                    return tmin, col, us, vs, dns
 
-            tmin, col, pu, pv, pdn = visit_chunk(
-                ox, oy, oz, dx, dy, dz, t_prev, bw, rt)
+                def pick(arr2d):
+                    return jnp.sum(jnp.where(sel, arr2d, 0.0), axis=1)
 
-            better = tmin < bt
-            bt = jnp.where(better, tmin, bt)
-            bi = jnp.where(better, start + col, bi)
-            bu = jnp.where(better, pu, bu)
-            bv = jnp.where(better, pv, bv)
-            # MT det = -d.n, so backface (det < 0) is d.n > 0.
-            bb = jnp.where(better, jnp.where(pdn > 0.0, 1.0, 0.0), bb)
-            return bt, bi, bu, bv, bb
+                return tmin, col, pick(u), pick(v), pick(dn)
 
-        def next_hit(visited, bt):
-            """Unvisited block with the smallest tile-entry tn still hit
-            under the current best-t (per-tile front-to-back priority)."""
-            live = hit0 * jnp.where(tn <= rc(bt), 1.0, 0.0)  # [RT,B]
-            anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
-                & (visited == 0.0)  # [1,B]
-            cand_t = jnp.where(anyhit, tn_min, jnp.inf)
-            m = jnp.min(cand_t)
-            nxt = jnp.min(jnp.where(anyhit & (cand_t == m), iota_b, bpad))
-            return nxt
+            def visit_block(block_id, best):
+                """Dense [RT, block] Baldwin-Weber visit of one block."""
+                bt, bi, bu, bv, bb = best
+                start = pl.multiple_of(block_id * block, 128)
+                bw = bw_ref[:, pl.ds(start, block)]  # [12, B]
 
-        def cond(state):
-            return state[0] < bpad
+                tmin, col, pu, pv, pdn = visit_chunk(
+                    ox, oy, oz, dx, dy, dz, t_prev, bw, rt)
 
-        def body(state):
-            cur, visited, bt, bi, bu, bv, bb = state
-            bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
-            best = visit_block(bid, (bt, bi, bu, bv, bb))
-            visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
-            nxt = next_hit(visited, best[0])
-            if FLAT_PAIR:
-                # Second visit in the same serial iteration (FLAT_PAIR).
-                def second(b):
-                    bid2 = jnp.sum(jnp.where(iota_b == nxt, bids, 0))
-                    return visit_block(bid2, b)
+                better = tmin < bt
+                bt = jnp.where(better, tmin, bt)
+                bi = jnp.where(better, start + col, bi)
+                bu = jnp.where(better, pu, bu)
+                bv = jnp.where(better, pv, bv)
+                # MT det = -d.n, so backface (det < 0) is d.n > 0.
+                bb = jnp.where(better, jnp.where(pdn > 0.0, 1.0, 0.0), bb)
+                return bt, bi, bu, bv, bb
 
-                best = jax.lax.cond(nxt < bpad, second, lambda b: b, best)
-                # iota_b < bpad everywhere, so nxt == bpad updates nothing.
-                visited = visited + jnp.where(iota_b == nxt, 1.0, 0.0)
+            def next_hit(visited, bt):
+                """Unvisited block with the smallest tile-entry tn still hit
+                under the current best-t (per-tile front-to-back priority)."""
+                live = hit0 * jnp.where(tn <= rc(bt), 1.0, 0.0)  # [RT,B]
+                anyhit = (jnp.max(live, axis=0, keepdims=True) > 0.0) \
+                    & (visited == 0.0)  # [1,B]
+                cand_t = jnp.where(anyhit, tn_min, jnp.inf)
+                m = jnp.min(cand_t)
+                nxt = jnp.min(jnp.where(anyhit & (cand_t == m), iota_b, bpad))
+                return nxt
+
+            def cond(state):
+                return state[0] < bpad
+
+            def body(state):
+                cur, visited, bt, bi, bu, bv, bb = state
+                bid = jnp.sum(jnp.where(iota_b == cur, bids, 0))
+                best = visit_block(bid, (bt, bi, bu, bv, bb))
+                visited = visited + jnp.where(iota_b == cur, 1.0, 0.0)
                 nxt = next_hit(visited, best[0])
-            return (nxt, visited, *best)
+                if FLAT_PAIR:
+                    # Second visit in the same serial iteration (FLAT_PAIR).
+                    def second(b):
+                        bid2 = jnp.sum(jnp.where(iota_b == nxt, bids, 0))
+                        return visit_block(bid2, b)
 
-        bt0 = jnp.full((rt,), jnp.inf, jnp.float32)
-        visited0 = jnp.zeros((1, bpad), jnp.float32)
-        first = next_hit(visited0, bt0)
-        init = (
-            first,
-            visited0,
-            bt0,
-            jnp.full((rt,), -1, jnp.int32),
-            jnp.zeros((rt,), jnp.float32),
-            jnp.zeros((rt,), jnp.float32),
-            jnp.zeros((rt,), jnp.float32),
-        )
-        _, _, bt, bi, bu, bv, bb = jax.lax.while_loop(cond, body, init)
+                    best = jax.lax.cond(nxt < bpad, second, lambda b: b, best)
+                    # iota_b < bpad everywhere, so nxt == bpad updates nothing.
+                    visited = visited + jnp.where(iota_b == nxt, 1.0, 0.0)
+                    nxt = next_hit(visited, best[0])
+                return (nxt, visited, *best)
 
-        kind = jnp.where(jnp.isfinite(bt), 1.0, 0.0)
-        if n_sph:
-            # Dense analytic-sphere pass, chunk logic and root semantics
-            # identical to pallas_spheres._kernel (each root valid iff
-            # >= 0 and > t_prev; far root = inside hit -> backface).
-            chunk = min(512, n_sph) if n_sph % min(512, n_sph) == 0 \
-                else 128
-            aq = rc(dx * dx + dy * dy + dz * dz)
-            tpq = rc(t_prev)
-            lanes_s = jax.lax.broadcasted_iota(jnp.int32, (rt, chunk), 1)
+            bt0 = jnp.full((rt,), jnp.inf, jnp.float32)
+            visited0 = jnp.zeros((1, bpad), jnp.float32)
+            first = next_hit(visited0, bt0)
+            init = (
+                first,
+                visited0,
+                bt0,
+                jnp.full((rt,), -1, jnp.int32),
+                jnp.zeros((rt,), jnp.float32),
+                jnp.zeros((rt,), jnp.float32),
+                jnp.zeros((rt,), jnp.float32),
+            )
+            _, _, bt, bi, bu, bv, bb = jax.lax.while_loop(cond, body, init)
 
-            def sph_body(k, carry):
-                btmin, bcol, bback = carry
-                start = pl.multiple_of(k * chunk, 128)
-                cx = sph_ref[0, pl.ds(start, chunk)][None, :]
-                cy = sph_ref[1, pl.ds(start, chunk)][None, :]
-                cz = sph_ref[2, pl.ds(start, chunk)][None, :]
-                rad = sph_ref[3, pl.ds(start, chunk)][None, :]
-                ocx = rc(ox) - cx
-                ocy = rc(oy) - cy
-                ocz = rc(oz) - cz
-                b2 = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
-                c2 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-                disc = b2 * b2 - 4.0 * aq * c2
-                has = disc >= 0.0
-                sq = jnp.sqrt(jnp.where(has, disc, 0.0))
-                inv2a = 1.0 / (2.0 * aq)
-                t1 = (-b2 - sq) * inv2a
-                t2 = (-b2 + sq) * inv2a
-                v1 = has & (t1 >= 0.0) & (t1 > tpq)
-                v2 = has & (t2 >= 0.0) & (t2 > tpq)
-                t_near = jnp.where(v1, t1, jnp.where(v2, t2, jnp.inf))
-                far_root = (~v1) & v2
-                tmin_s = jnp.min(t_near, axis=1)
-                is_min = t_near == tmin_s[:, None]
-                col = jnp.min(jnp.where(is_min, lanes_s,
-                                        jnp.int32(1 << 30)), axis=1)
-                sel_s = lanes_s == col[:, None]
-                back = jnp.max(jnp.where(sel_s & far_root, 1.0, 0.0),
-                               axis=1)
-                better = (tmin_s < btmin) | (k == 0)
-                return (jnp.where(better, tmin_s, btmin),
-                        jnp.where(better, start + col, bcol),
-                        jnp.where(better, back, bback))
+            kind = jnp.where(jnp.isfinite(bt), 1.0, 0.0)
+            if n_sph:
+                # Dense analytic-sphere pass, chunk logic and root semantics
+                # identical to pallas_spheres._kernel (each root valid iff
+                # >= 0 and > t_prev; far root = inside hit -> backface).
+                chunk = min(512, n_sph) if n_sph % min(512, n_sph) == 0 \
+                    else 128
+                aq = rc(dx * dx + dy * dy + dz * dz)
+                tpq = rc(t_prev)
+                lanes_s = jax.lax.broadcasted_iota(jnp.int32, (rt, chunk), 1)
 
-            sinit = (jnp.full((rt,), jnp.inf, jnp.float32),
-                     jnp.zeros((rt,), jnp.int32),
-                     jnp.zeros((rt,), jnp.float32))
-            st, scol, sback = jax.lax.fori_loop(0, n_sph // chunk,
-                                                sph_body, sinit)
-            # Merge: triangle wins ties (ops.intersect.closest_hit).
-            sph_wins = st < bt
-            kind = jnp.where(sph_wins, 2.0, kind)
-            bt = jnp.where(sph_wins, st, bt)
-            bu = jnp.where(sph_wins, 0.0, bu)
-            bv = jnp.where(sph_wins, 0.0, bv)
-            bb = jnp.where(sph_wins, sback, bb)
-            bi = jnp.where(sph_wins, sph_row_base + scol, bi)
+                def sph_body(k, carry):
+                    btmin, bcol, bback = carry
+                    start = pl.multiple_of(k * chunk, 128)
+                    cx = sph_ref[0, pl.ds(start, chunk)][None, :]
+                    cy = sph_ref[1, pl.ds(start, chunk)][None, :]
+                    cz = sph_ref[2, pl.ds(start, chunk)][None, :]
+                    rad = sph_ref[3, pl.ds(start, chunk)][None, :]
+                    ocx = rc(ox) - cx
+                    ocy = rc(oy) - cy
+                    ocz = rc(oz) - cz
+                    b2 = 2.0 * (ocx * rc(dx) + ocy * rc(dy) + ocz * rc(dz))
+                    c2 = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                    disc = b2 * b2 - 4.0 * aq * c2
+                    has = disc >= 0.0
+                    sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+                    inv2a = 1.0 / (2.0 * aq)
+                    t1 = (-b2 - sq) * inv2a
+                    t2 = (-b2 + sq) * inv2a
+                    v1 = has & (t1 >= 0.0) & (t1 > tpq)
+                    v2 = has & (t2 >= 0.0) & (t2 > tpq)
+                    t_near = jnp.where(v1, t1, jnp.where(v2, t2, jnp.inf))
+                    far_root = (~v1) & v2
+                    tmin_s = jnp.min(t_near, axis=1)
+                    is_min = t_near == tmin_s[:, None]
+                    col = jnp.min(jnp.where(is_min, lanes_s,
+                                            jnp.int32(1 << 30)), axis=1)
+                    sel_s = lanes_s == col[:, None]
+                    back = jnp.max(jnp.where(sel_s & far_root, 1.0, 0.0),
+                                   axis=1)
+                    better = (tmin_s < btmin) | (k == 0)
+                    return (jnp.where(better, tmin_s, btmin),
+                            jnp.where(better, start + col, bcol),
+                            jnp.where(better, back, bback))
+
+                sinit = (jnp.full((rt,), jnp.inf, jnp.float32),
+                         jnp.zeros((rt,), jnp.int32),
+                         jnp.zeros((rt,), jnp.float32))
+                st, scol, sback = jax.lax.fori_loop(0, n_sph // chunk,
+                                                    sph_body, sinit)
+                # Merge: triangle wins ties (ops.intersect.closest_hit).
+                sph_wins = st < bt
+                kind = jnp.where(sph_wins, 2.0, kind)
+                bt = jnp.where(sph_wins, st, bt)
+                bu = jnp.where(sph_wins, 0.0, bu)
+                bv = jnp.where(sph_wins, 0.0, bv)
+                bb = jnp.where(sph_wins, sback, bb)
+                bi = jnp.where(sph_wins, sph_row_base + scol, bi)
+
+            return (bt, bi, bu, bv, bb, kind)
+
+        bt, bi, bu, bv, bb, kind = jax.lax.cond(
+            jnp.any(t_prev < jnp.inf), live_tile, dead_tile)
 
         fout_ref[0, pl.ds(base, RAY_TILE)] = bt
         fout_ref[1, pl.ds(base, RAY_TILE)] = bu
@@ -1050,12 +1069,25 @@ def _flat_occ_kernel(o_ref, d_ref, tmax_ref, blk_ref, bid_ref, bw_ref,
         oz = o_ref[2, pl.ds(base, RAY_TILE)]
 
         for li in range(n_sets):
-            dx = d_ref[3 * li + 0, pl.ds(base, RAY_TILE)]
-            dy = d_ref[3 * li + 1, pl.ds(base, RAY_TILE)]
-            dz = d_ref[3 * li + 2, pl.ds(base, RAY_TILE)]
             t_max = tmax_ref[li, pl.ds(base, RAY_TILE)]
-            occ = flat_occ_set(ox, oy, oz, dx, dy, dz, t_max, blk_ref,
-                               bid_ref, bw_ref, bpad=bpad, block=block)
+
+            def active_set(li=li, t_max=t_max):
+                dx = d_ref[3 * li + 0, pl.ds(base, RAY_TILE)]
+                dy = d_ref[3 * li + 1, pl.ds(base, RAY_TILE)]
+                dz = d_ref[3 * li + 2, pl.ds(base, RAY_TILE)]
+                return flat_occ_set(ox, oy, oz, dx, dy, dz, t_max,
+                                    blk_ref, bid_ref, bw_ref, bpad=bpad,
+                                    block=block)
+
+            def dead_set():
+                # Dead lanes report occluded (the caller masks them).
+                return jnp.ones((RAY_TILE,), jnp.float32)
+
+            # Whole-tile dead skip: an all-inactive tile-set otherwise
+            # still pays the full slab + loads (measured 12.7 ms floor
+            # per 2^19x3-set launch with every lane dead, round 5).
+            occ = jax.lax.cond(jnp.any(t_max >= 0.0), active_set,
+                               dead_set)
             out_ref[li, pl.ds(base, RAY_TILE)] = occ
         return 0
 

@@ -311,12 +311,6 @@ def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, grp_ref,
     the selected packed column (-1 = none)."""
     def tile_body(tile, _):
         base = tile * WALK_TILE
-        ox = o_ref[0, pl.ds(base, WALK_TILE)]
-        oy = o_ref[1, pl.ds(base, WALK_TILE)]
-        oz = o_ref[2, pl.ds(base, WALK_TILE)]
-        dx = d_ref[0, pl.ds(base, WALK_TILE)]
-        dy = d_ref[1, pl.ds(base, WALK_TILE)]
-        dz = d_ref[2, pl.ds(base, WALK_TILE)]
         t_op = top_ref[0, pl.ds(base, WALK_TILE)]  # <0 => lane inactive
 
         rt = WALK_TILE
@@ -329,6 +323,15 @@ def _alpha_kernel(o_ref, d_ref, top_ref, rnd_ref, bw_ref, grp_ref,
                     zero, zero, zero, zero)
 
         def walk():
+            # Per-lane loads INSIDE the active branch: all-idle tiles pay
+            # one t_op row load + the constant stores, not the full 7-row
+            # load set (the walk-cost anatomy's per-lane idle floor).
+            ox = o_ref[0, pl.ds(base, WALK_TILE)]
+            oy = o_ref[1, pl.ds(base, WALK_TILE)]
+            oz = o_ref[2, pl.ds(base, WALK_TILE)]
+            dx = d_ref[0, pl.ds(base, WALK_TILE)]
+            dy = d_ref[1, pl.ds(base, WALK_TILE)]
+            dz = d_ref[2, pl.ds(base, WALK_TILE)]
             t_hi = jnp.where(t_op < 0.0, -1.0, t_op)  # inactive: no window
             t_mat, u_mat, v_mat, dn_mat = _eval_mats(
                 ox, oy, oz, dx, dy, dz, t_hi, bw_ref, grp_ref, groups)
@@ -607,15 +610,29 @@ def _trans_kernel(o_ref, d_ref, aux_ref, bw_ref, grp_ref, rows_ref,
     def tile_body(tile, _):
         base = tile * WALK_TILE
         ld = lambda ref, i: ref[i, pl.ds(base, WALK_TILE)]
-        trans, t_prev, walking = trans_tile(
-            ld(o_ref, 0), ld(o_ref, 1), ld(o_ref, 2),
-            ld(d_ref, 0), ld(d_ref, 1), ld(d_ref, 2),
-            ld(aux_ref, 0), ld(aux_ref, 1) > 0.0,
-            ld(aux_ref, 2), ld(aux_ref, 3), ld(aux_ref, 4),
-            ld(aux_ref, 5), ld(aux_ref, 6), ld(aux_ref, 7) > 0.0,
-            bw_ref, grp_ref, rows_ref, tex_ref, lut_ref,
-            pages=pages, live=live, steps_cap=steps_cap,
-            textured=textured, interp=interp, groups=groups)
+        pd = ld(aux_ref, 0)
+        rt = WALK_TILE
+
+        def idle():
+            return (jnp.ones((rt,), jnp.float32),
+                    jnp.full((rt,), -1.0, jnp.float32),
+                    jnp.zeros((rt,), jnp.float32))
+
+        def active():
+            # Loads inside the branch: all-idle tiles pay one pd row load
+            # + constant stores (per-lane idle floor; see _alpha_kernel).
+            return trans_tile(
+                ld(o_ref, 0), ld(o_ref, 1), ld(o_ref, 2),
+                ld(d_ref, 0), ld(d_ref, 1), ld(d_ref, 2),
+                pd, ld(aux_ref, 1) > 0.0,
+                ld(aux_ref, 2), ld(aux_ref, 3), ld(aux_ref, 4),
+                ld(aux_ref, 5), ld(aux_ref, 6), ld(aux_ref, 7) > 0.0,
+                bw_ref, grp_ref, rows_ref, tex_ref, lut_ref,
+                pages=pages, live=live, steps_cap=steps_cap,
+                textured=textured, interp=interp, groups=groups)
+
+        trans, t_prev, walking = jax.lax.cond(jnp.any(pd >= 0.0), active,
+                                              idle)
         fout_ref[0, pl.ds(base, WALK_TILE)] = trans
         fout_ref[1, pl.ds(base, WALK_TILE)] = t_prev
         fout_ref[2, pl.ds(base, WALK_TILE)] = walking

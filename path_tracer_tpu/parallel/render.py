@@ -125,3 +125,22 @@ def _alive_first_all_to_all(axis: str, n_shards: int):
         return tuple(shuffle(x) for x in state)
 
     return exchange
+
+
+@partial(jax.jit, static_argnames=("mesh", "width", "height", "spec", "axis"))
+def live_lane_counts(scene, mesh, pixel_ids, width: int, height: int,
+                     sample_id, spec: IntegratorSpec, axis: str = DP_AXIS):
+    """[n_shards, bounces+1] live-lane counts at the START of each bounce,
+    per shard, for ONE un-rebalanced sample — the imbalance that
+    cross-shard rebalancing (rebalance=True) removes. The SCALING artifact
+    records these so the real-hardware go/no-go can weigh the measured
+    imbalance against the exchange cost (VERDICT r4 next #6)."""
+
+    def local(scene, ids):
+        _, live = render_wavefront(scene, ids, width, height, sample_id,
+                                   spec, collect_live_counts=True)
+        return live[None, :]
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                      out_specs=P(axis), check_vma=False)
+    return f(scene, pixel_ids)

@@ -21,7 +21,9 @@ SCENES = [
     "white_furnace_direct",
     "white_furnace_indirect",
 ]
-W, H, SPP, BOUNCES = 64, 48, 2, 2
+# 128x96 @ 4 spp since round 5 (64x48 @ 2 in r4, 32x24 before): the
+# cheap regression net scales with the oracle suite (VERDICT r4 #9).
+W, H, SPP, BOUNCES = 128, 96, 4, 2
 
 
 def _render(scenes_root, name):

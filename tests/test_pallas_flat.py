@@ -228,7 +228,12 @@ def test_flat_fused_spheres_matches_merge(tex_scene_small):
     tri_wins = tri.t <= sph.t
     pick = lambda a, b: np.asarray(jnp.where(tri_wins, a, b))
     assert (np.asarray(fused.kind) == pick(tri.kind, sph.kind)).all()
-    np.testing.assert_array_equal(np.asarray(fused.t), pick(tri.t, sph.t))
+    # 1-ulp tolerance: the in-kernel quadratic compiles inside a different
+    # cond/fusion context than the standalone sphere kernel, so XLA's fma
+    # contraction can differ in the last bit (same class as the fused-
+    # shadow XLA-glue note in test_fused_shadow.py).
+    np.testing.assert_allclose(np.asarray(fused.t), pick(tri.t, sph.t),
+                               rtol=5e-7)
     np.testing.assert_array_equal(np.asarray(fused.packed),
                                   pick(tri.packed, sph.packed))
     np.testing.assert_array_equal(np.asarray(fused.prim),
