@@ -130,3 +130,29 @@ def test_grads_finite(cornell):
     grads = jax.grad(loss_fn)(get_params(cornell))
     for name, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), f"non-finite grad in {name}"
+
+
+def test_live_lane_counts_shape_and_monotonicity():
+    """live_lane_counts (SCALING imbalance probe): [n_shards, bounces+1],
+    starts at the full shard wavefront, and is non-increasing per shard
+    (lanes only die without rebalance)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.models.integrator import IntegratorSpec
+    from path_tracer_tpu.parallel import default_mesh
+    from path_tracer_tpu.parallel.render import live_lane_counts
+    from path_tracer_tpu.scene.procedural import sphere_grid_device_scene
+
+    scene = sphere_grid_device_scene()
+    spec = IntegratorSpec(bounces=3)
+    W = H = 64
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    mesh = default_mesh(4)
+    c = np.asarray(live_lane_counts(scene, mesh, ids, W, H, jnp.int32(1),
+                                    spec))
+    assert c.shape == (4, spec.bounces + 1)
+    assert (c[:, 0] == W * H // 4).all()
+    assert (np.diff(c, axis=1) <= 0).all()
+    # The probe exists to show imbalance: on this scene shards diverge.
+    assert c[:, 1].max() > c[:, 1].min()
