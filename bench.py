@@ -97,7 +97,10 @@ def main() -> None:
 
         # PT_SL_BLOCK: superleaf block-size A/B knob (PERF.md sweep).
         scene = showcase_device_scene(
-            use_bvh=True, sl_block=int(os.environ.get("PT_SL_BLOCK", "512")),
+            # sl_block 256: round-5 re-sweep at RAY_TILE=128 — textured
+            # 4.86 -> 4.93, plain 9.74 -> 9.91 Mray/s (512 was the
+            # round-2 optimum at tile 256).
+            use_bvh=True, sl_block=int(os.environ.get("PT_SL_BLOCK", "256")),
             textured=which == "showcase")
     elif VENDORED_SPHERES.exists():
         scene = load_scene(VENDORED_SPHERES)
