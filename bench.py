@@ -82,6 +82,14 @@ def main() -> None:
 
     run_gates()
 
+    # Per-scene kernel tuning: RAY_TILE=128 / FLAT_PAIR off are the
+    # round-5 optima for the triangle-heavy showcase class but trade ~6%
+    # on the analytic-sphere scene; restore its tuned values unless the
+    # user overrides (env is read at module import below).
+    if os.environ.get("BENCH_SCENE") == "spheres":
+        os.environ.setdefault("PT_RAY_TILE", "256")
+        os.environ.setdefault("PT_FLAT_PAIR", "1")
+
     from path_tracer_tpu.models.integrator import IntegratorSpec
     from path_tracer_tpu.models.renderer import render_pixel_sums
     from path_tracer_tpu.scene import load_scene
