@@ -242,3 +242,50 @@ def test_flat_fused_spheres_matches_merge(tex_scene_small):
                                   pick(tri.backface, sph.backface))
     assert int((np.asarray(fused.kind) == KIND_SPHERE).sum()) > 0
     assert int((np.asarray(fused.kind) == KIND_TRIANGLE).sum()) > 0
+
+
+def test_dead_tile_skips_preserve_semantics(tex_scene_small):
+    """Whole-tile dead skips (round 5): fully-dead wavefronts must report
+    the all-miss/occluded results the walk would produce, and mixed
+    wavefronts must equal the per-lane masked results."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.ops.pallas_bvh import (closest_hit_triangles_flat,
+                                                occluded_triangles_flat_multi)
+
+    s = tex_scene_small
+    rng = np.random.default_rng(9)
+    r = 512
+    lo = np.asarray(s.tri_v0[: s.num_real_triangles]).min(axis=0)
+    hi = np.asarray(s.tri_v0[: s.num_real_triangles]).max(axis=0)
+    o = jnp.asarray(rng.uniform(lo - 4, hi + 4, (r, 3)).astype(np.float32))
+    tgt = rng.uniform(lo, hi, (r, 3)).astype(np.float32)
+    d = tgt - np.asarray(o)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+
+    # Closest hit: all-dead (t_prev = +inf) vs mixed (first half dead).
+    dead = jnp.full((r,), jnp.inf, jnp.float32)
+    h = closest_hit_triangles_flat(o, d, dead, s, interpret=True)
+    assert not np.isfinite(np.asarray(h.t)).any()
+    assert (np.asarray(h.packed) == -1).all()
+    live = jnp.full((r,), -1.0, jnp.float32)
+    mixed = live.at[: r // 2].set(jnp.inf)
+    hm = closest_hit_triangles_flat(o, d, mixed, s, interpret=True)
+    hl = closest_hit_triangles_flat(o, d, live, s, interpret=True)
+    assert not np.isfinite(np.asarray(hm.t)[: r // 2]).any()
+    np.testing.assert_array_equal(np.asarray(hm.t)[r // 2:],
+                                  np.asarray(hl.t)[r // 2:])
+
+    # Any-hit: an all-dead set reports occluded; a live set is unchanged
+    # by the dead set sharing the launch.
+    inf = jnp.full((r,), jnp.inf, jnp.float32)
+    neg = jnp.full((r,), -1.0, jnp.float32)
+    multi = occluded_triangles_flat_multi(o, [d, d], [neg, inf], s,
+                                          interpret=True)
+    single = occluded_triangles_flat_multi(o, [d], [inf], s,
+                                           interpret=True)
+    assert np.asarray(multi[0]).all()  # dead set: all "occluded"
+    np.testing.assert_array_equal(np.asarray(multi[1]),
+                                  np.asarray(single[0]))
